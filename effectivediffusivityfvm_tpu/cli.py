@@ -1,0 +1,45 @@
+"""Command-line entry point, input.txt-compatible.
+
+Reference: ``main`` (Deff2D.cu:3-54) reads a hardcoded ``input.txt`` and
+dispatches on nPhase x BatchFlag.  Here the file path is an optional argv
+(defaulting to ``input.txt`` for parity) and the same four pipelines are
+dispatched.
+
+Usage:
+    python -m effectivediffusivityfvm_tpu.cli [input.txt]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .config import format_options, parse_input_file
+from .pipeline.batch import batch_sim, batch_sim_3phase
+from .pipeline.single import single_sim, single_sim_3phase
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    path = argv[0] if argv else "input.txt"
+    cfg = parse_input_file(path)
+    if cfg.verbose:
+        print(format_options(cfg))
+
+    if cfg.n_phase == 2:
+        if not cfg.batch_flag:
+            single_sim(cfg)
+        else:
+            batch_sim(cfg)
+    elif cfg.n_phase == 3:
+        if not cfg.batch_flag:
+            single_sim_3phase(cfg)
+        else:
+            batch_sim_3phase(cfg)
+    else:
+        print("Current option entered for Phases is not supported.\n Exiting now.")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,235 @@
+"""Batch (ML dataset generation) pipelines — the vmapped throughput path.
+
+TPU-native re-design of the reference batch modes:
+  * ``BatchSim``       (Deff2D.cuh:1843-2054): 2-phase, single solve per image
+    at the requested D_fluid (no DCF continuation), 9 output values per image;
+  * ``BatchSim3Phase`` (Deff2D.cuh:2056-2419): 3-phase, DCG homotopy per
+    image, 10 values per image, optional per-image ``CMAP_%05d.csv``.
+
+The reference processes images strictly serially and re-allocates all GPU
+buffers per image (Deff2D.cuh:1867/1975).  Here images are grouped by shape,
+stacked to ``(B, ny, nx)``, and solved in ONE fused device computation per
+group — the primary throughput axis on TPU (SURVEY.md §2.6 DP row).
+Per-image convergence is preserved exactly: a converged image's field freezes
+while the rest keep sweeping (see ``solve_jacobi_batched``).
+
+Checkpoint/resume (aux subsystem, fixes the reference's documented
+all-or-nothing limitation, PDF §3.6): with ``cfg.incremental_output`` rows are
+flushed per completed group and a rerun resumes after the last finished image.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimulationConfig
+from ..io import images as img_io
+from ..io import writers
+from ..models import floodfill, phases
+from ..ops import fvm
+from ..ops.flux import BoundaryFluxSpec, make_flux_spec
+from ..solvers.dispatch import solve_batched
+from ..utils.logging import vprint
+from ..utils.timing import time_fn
+from .single import dcg_stages, _linear_init
+
+__all__ = ["batch_sim", "batch_sim_3phase", "solve_image_group", "solve_image_group_3phase"]
+
+
+_build_coeffs_batch = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))
+_build_coeffs_batch_masked = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None, 0))
+_flux_spec_batch = jax.vmap(make_flux_spec, in_axes=(0, None, None))
+
+
+def _group_by_shape(imgs: Sequence[np.ndarray], indices: Sequence[int],
+                    max_group: int) -> List[List[int]]:
+    """Bucket image indices by (H, W); split buckets larger than max_group."""
+    buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+    for i in indices:
+        buckets[imgs[i].shape].append(i)
+    groups: List[List[int]] = []
+    for _, idxs in sorted(buckets.items()):
+        if max_group <= 0:
+            groups.append(idxs)
+        else:
+            groups.extend(idxs[k:k + max_group] for k in range(0, len(idxs), max_group))
+    return groups
+
+
+def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
+    """2-phase batched solve of one same-shape group.
+
+    Args:
+      imgs_np: (B, H, W) uint8 pixels.
+    Returns:
+      (deff, conv, iters, x_fields, time_s) with leading batch dim.
+    """
+    dtype = cfg.np_dtype
+    classes = np.stack([
+        phases.amplify(phases.two_phase_classes(im), cfg.mesh_amp_y, cfg.mesh_amp_x)
+        for im in imgs_np
+    ])
+    bsz, ny, nx = classes.shape
+    d_field = jnp.asarray(
+        phases.d_field_from_classes(classes, cfg.d_fluid, cfg.d_solid, dtype=dtype)
+    )
+    coeffs = _build_coeffs_batch(d_field, cfg.c_left, cfg.c_right)
+    spec = _flux_spec_batch(d_field, cfg.c_left, cfg.c_right)
+    x0 = jnp.broadcast_to(
+        _linear_init(ny, nx, cfg.c_left, cfg.c_right, dtype), (bsz, ny, nx)
+    )
+    res, dt = time_fn(
+        solve_batched,
+        cfg.solver, coeffs, spec, x0,
+        omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
+        check_every=cfg.check_every, criterion=cfg.criterion,
+    )
+    deff = np.asarray(res.deff, np.float64) / cfg.d_fluid  # Deff2D.cuh:2017
+    return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt
+
+
+def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
+    """3-phase batched solve of one same-shape group, DCG homotopy included
+    (stage ladder depends only on the global DCG, so all images share it)."""
+    dtype = cfg.np_dtype
+    class_list, mask_list = [], []
+    for im in imgs_np:
+        ff = floodfill.flood_fill(im > 200)
+        class_list.append(
+            phases.amplify(phases.three_phase_classes(im), cfg.mesh_amp_y, cfg.mesh_amp_x)
+        )
+        mask_list.append(
+            phases.amplify((im > 200) | ff.isolated, cfg.mesh_amp_y, cfg.mesh_amp_x)
+        )
+    classes = np.stack(class_list)
+    mask = jnp.asarray(np.stack(mask_list))
+    bsz, ny, nx = classes.shape
+
+    def build(dcg_val):
+        d_field = jnp.asarray(
+            phases.d_field_from_classes(
+                classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype)
+        )
+        return (
+            _build_coeffs_batch_masked(d_field, cfg.c_left, cfg.c_right, mask),
+            _flux_spec_batch(d_field, cfg.c_left, cfg.c_right),
+        )
+
+    x = jnp.broadcast_to(
+        _linear_init(ny, nx, cfg.c_left, cfg.c_right, dtype), (bsz, ny, nx)
+    )
+    for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+        vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
+        coeffs, spec = build(dcg_t)
+        res = solve_batched(
+            cfg.solver, coeffs, spec, x,
+            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=1_000_000,
+            check_every=cfg.check_every, criterion=cfg.criterion,
+        )
+        x = res.x
+
+    coeffs, spec = build(cfg.d_gas)
+    res, dt = time_fn(
+        solve_batched,
+        cfg.solver, coeffs, spec, x,
+        omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
+        check_every=cfg.check_every, criterion=cfg.criterion,
+    )
+    deff = np.asarray(res.deff, np.float64) / cfg.d_fluid
+    fr = [phases.phase_fractions(c) for c in classes]
+    svf = np.asarray([f[0] for f in fr])
+    lvf = np.asarray([f[1] for f in fr])
+    return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt, svf, lvf
+
+
+def _attribute_time(total_s: float, iters: np.ndarray) -> np.ndarray:
+    """Per-image Time attribution for a fused group solve: proportional to
+    each image's sweep count (the reference reports true per-image GPU time;
+    a fused batch has one wall-clock, split honestly by work done)."""
+    tot = float(np.sum(iters))
+    if tot <= 0:
+        return np.full(iters.shape, total_s / max(len(iters), 1))
+    return total_s * np.asarray(iters, np.float64) / tot
+
+
+def batch_sim(cfg: SimulationConfig, imgs: Optional[Sequence[np.ndarray]] = None) -> np.ndarray:
+    """2-phase batch pipeline (reference BatchSim, Deff2D.cuh:1843).
+
+    Returns the (NumImg, 9) output table:
+    imgNum, porosity, PathFlag, Deff, Time, nElements, converge, ds, df.
+    """
+    cfg.validate()
+    if imgs is None:
+        imgs = img_io.load_batch(cfg.num_images, cfg.image_dir)
+    n = len(imgs)
+    out = np.zeros((n, 9))
+
+    inc = writers.IncrementalBatchWriter(cfg.output_name) if cfg.incremental_output else None
+    done = inc.completed() if inc else 0
+    pending = [i for i in range(n) if i >= done]
+    if done:
+        vprint(cfg.verbose, f"Resuming batch: {done} images already completed")
+
+    for group in _group_by_shape(imgs, pending, cfg.batch_size):
+        stack = np.stack([imgs[i] for i in group])
+        deff, conv, iters, _, dt = solve_image_group(cfg, stack)
+        times = _attribute_time(dt, iters)
+        for k, i in enumerate(group):
+            im = imgs[i]
+            poro = phases.porosity(im)
+            ff = floodfill.flood_fill(im > 150)
+            ne = im.shape[0] * cfg.mesh_amp_y * im.shape[1] * cfg.mesh_amp_x
+            row = (i, poro, int(ff.path_flag), float(deff[k]), float(times[k]),
+                   ne, float(conv[k]), cfg.d_solid, cfg.d_fluid)
+            out[i] = row
+            if inc:
+                inc.write_row(row)
+            vprint(cfg.verbose, f"Number {i} DCF = {cfg.d_fluid}, Deff {float(deff[k])}")
+
+    if not cfg.incremental_output:
+        writers.write_batch(cfg.output_name, [tuple(r) for r in out])
+    return out
+
+
+def batch_sim_3phase(cfg: SimulationConfig, imgs: Optional[Sequence[np.ndarray]] = None) -> np.ndarray:
+    """3-phase batch pipeline (reference BatchSim3Phase, Deff2D.cuh:2056).
+
+    Returns the (NumImg, 11) output table:
+    imgNum, SVF, LVF, PathFlag, Deff, Time, nElements, converge, ds, df, dg.
+    """
+    cfg.validate()
+    if imgs is None:
+        imgs = img_io.load_batch(cfg.num_images, cfg.image_dir)
+    n = len(imgs)
+    out = np.zeros((n, 11))
+
+    inc = (writers.IncrementalBatchWriter(cfg.output_name, three_phase=True)
+           if cfg.incremental_output else None)
+    done = inc.completed() if inc else 0
+    pending = [i for i in range(n) if i >= done]
+
+    for group in _group_by_shape(imgs, pending, cfg.batch_size):
+        stack = np.stack([imgs[i] for i in group])
+        deff, conv, iters, x, dt, svf, lvf = solve_image_group_3phase(cfg, stack)
+        times = _attribute_time(dt, iters)
+        for k, i in enumerate(group):
+            im = imgs[i]
+            ff = floodfill.flood_fill(im > 200)
+            ne = im.shape[0] * cfg.mesh_amp_y * im.shape[1] * cfg.mesh_amp_x
+            row = (i, float(svf[k]), float(lvf[k]), int(ff.path_flag),
+                   float(deff[k]), float(times[k]), ne, float(conv[k]),
+                   cfg.d_solid, cfg.d_fluid, cfg.d_gas)
+            out[i] = row
+            if inc:
+                inc.write_row(row)
+            if cfg.print_cmap:
+                writers.write_cmap(f"CMAP_{i:05d}.csv", x[k])
+
+    if not cfg.incremental_output:
+        writers.write_batch_3phase(cfg.output_name, [tuple(r) for r in out])
+    return out

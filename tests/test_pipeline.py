@@ -1,0 +1,181 @@
+"""End-to-end pipeline tests on the bundled reference images and synthetic
+batches: continuation/homotopy ladders, CSV emission, batch grouping,
+incremental resume, and the direct-solve correctness anchor on 00000.jpg."""
+
+import os
+
+import numpy as np
+import pytest
+
+from effectivediffusivityfvm_tpu.config import SimulationConfig
+from effectivediffusivityfvm_tpu.io.images import load_grayscale, parallel_slab, series_slab
+from effectivediffusivityfvm_tpu.pipeline.single import (
+    dcf_stages,
+    dcg_stages,
+    single_sim,
+    single_sim_3phase,
+)
+from effectivediffusivityfvm_tpu.pipeline.batch import batch_sim
+from effectivediffusivityfvm_tpu.io import writers
+
+
+class TestStageLadders:
+    def test_dcf_ladder_matches_reference(self):
+        # Deff2D.cuh:1759-1817: DCF = 100^count clamped to Df
+        assert dcf_stages(1e5) == [100.0, 10_000.0, 1e5]
+        assert dcf_stages(100.0) == [100.0]
+        assert dcf_stages(50.0) == [50.0]
+        assert dcf_stages(1e6) == [100.0, 1e4, 1e6]
+
+    def test_dcf_ladder_low_df_departure(self):
+        # documented departure: reference would skip the solve entirely
+        assert dcf_stages(1.0) == [1.0]
+
+    def test_dcg_ladder_matches_reference(self):
+        # Deff2D.cuh:1504-1548: 10, 100, ... while < DCG
+        assert dcg_stages(1_237_500.0) == [10.0, 100.0, 1e3, 1e4, 1e5, 1e6]
+        assert dcg_stages(10.0) == []
+        assert dcg_stages(11.0) == [10.0]
+        assert dcg_stages(1.0) == []
+
+
+class TestSingle2Phase:
+    def test_bundled_00000(self, reference_dir, tmp_path):
+        """Correctness anchor: Deff on the bundled 128x128 2-phase image must
+        match the direct sparse solve of the same system (SURVEY.md §4b)."""
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        from effectivediffusivityfvm_tpu.models import phases
+        from effectivediffusivityfvm_tpu.ops import fvm
+        from effectivediffusivityfvm_tpu.ops.flux import boundary_deff, make_flux_spec
+
+        img = load_grayscale(os.path.join(reference_dir, "00000.jpg"))
+        cfg = SimulationConfig(
+            n_phase=2, d_fluid=1.0, d_solid=1e-6, convergence=1e-8,
+            max_iter=2_000_000, check_every=1000, dtype="float64",
+            criterion="residual",
+            output_name=str(tmp_path / "out.csv"),
+        )
+        res = single_sim(cfg, img=img)
+
+        # direct solve oracle
+        classes = phases.two_phase_classes(img)
+        d = jnp.asarray(phases.d_field_from_classes(classes, cfg.d_fluid, cfg.d_solid,
+                                                    dtype=np.float64))
+        c = fvm.fvm_coefficients(d, 0.0, 1.0)
+        spec = make_flux_spec(d, 0.0, 1.0)
+        n = d.size
+        ny, nx = d.shape
+        diag = np.asarray(c.diag).ravel()
+        A = sp.diags(
+            [diag,
+             -np.asarray(c.a_w).ravel()[1:],
+             -np.asarray(c.a_e).ravel()[:-1],
+             -np.asarray(c.a_n).ravel()[nx:],
+             -np.asarray(c.a_s).ravel()[:-nx]],
+            [0, -1, 1, -nx, nx], format="csc")
+        x_direct = spla.spsolve(A, np.asarray(c.b).ravel()).reshape(ny, nx)
+        deff_direct = float(boundary_deff(spec, jnp.asarray(x_direct)))
+
+        # Jacobi on a contrast-1e6 medium leaves ~2e-4 relative Deff error at
+        # this residual level (slow low-D modes); the CG solver covers the
+        # tight-tolerance regime (see test_cg.py).
+        np.testing.assert_allclose(res.deff, deff_direct / cfg.d_fluid, rtol=1e-3)
+        assert 0.0 < res.porosity < 1.0
+        assert os.path.exists(cfg.output_name)
+
+    def test_csv_row_written(self, tmp_path):
+        img = parallel_slab(32, 0.5)
+        cfg = SimulationConfig(
+            n_phase=2, d_fluid=1.0, d_solid=0.1, convergence=1e-6,
+            max_iter=200_000, check_every=200, dtype="float64",
+            output_name=str(tmp_path / "o.csv"),
+            print_cmap=True, cmap_name=str(tmp_path / "cmap.csv"),
+            input_name="synthetic.jpg",
+        )
+        res = single_sim(cfg, img=img)
+        lines = (tmp_path / "o.csv").read_text().splitlines()
+        assert lines[0] == writers.BATCH2_HEADER
+        assert lines[1].startswith("synthetic.jpg,")
+        cmap_lines = (tmp_path / "cmap.csv").read_text().splitlines()
+        assert cmap_lines[0] == "X,Y,C"
+        assert len(cmap_lines) == 1 + 32 * 32
+        np.testing.assert_allclose(res.deff, 0.55, rtol=1e-3)
+
+    def test_mesh_amplification(self):
+        img = parallel_slab(16, 0.5)
+        cfg = SimulationConfig(
+            n_phase=2, d_fluid=1.0, d_solid=0.1, convergence=1e-8,
+            max_iter=500_000, check_every=200, dtype="float64",
+            criterion="residual", mesh_amp_x=2, mesh_amp_y=3,
+        )
+        res = single_sim(cfg, img=img, write_output=False)
+        assert res.n_elements == 16 * 2 * 16 * 3
+        np.testing.assert_allclose(res.deff, 0.55, rtol=1e-4)
+
+
+class TestBatch:
+    def test_batch_2phase_synthetic(self, tmp_path):
+        imgs = [parallel_slab(24, e) for e in (0.25, 0.5, 0.75)]
+        cfg = SimulationConfig(
+            n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+            convergence=1e-7, max_iter=300_000, check_every=200,
+            dtype="float64", criterion="residual",
+            output_name=str(tmp_path / "batch.csv"), num_images=3,
+        )
+        out = batch_sim(cfg, imgs=imgs)
+        assert out.shape == (3, 9)
+        for k, e in enumerate((0.25, 0.5, 0.75)):
+            np.testing.assert_allclose(out[k, 3], e + (1 - e) * 0.1, rtol=1e-4)
+            assert out[k, 2] == 1.0  # PathFlag
+        lines = (tmp_path / "batch.csv").read_text().splitlines()
+        assert lines[0] == writers.BATCH2_HEADER
+        assert len(lines) == 4
+
+    def test_batch_resume_skips_done(self, tmp_path):
+        imgs = [parallel_slab(24, e) for e in (0.3, 0.6)]
+        cfg = SimulationConfig(
+            n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+            convergence=1e-6, max_iter=100_000, check_every=200,
+            dtype="float64", criterion="residual",
+            output_name=str(tmp_path / "batch.csv"), num_images=2,
+        )
+        batch_sim(cfg, imgs=imgs)
+        n_lines = len((tmp_path / "batch.csv").read_text().splitlines())
+        # rerun: everything already complete, no new rows
+        batch_sim(cfg, imgs=imgs)
+        assert len((tmp_path / "batch.csv").read_text().splitlines()) == n_lines
+
+    def test_batch_mixed_shapes_grouped(self, tmp_path):
+        imgs = [parallel_slab(16, 0.5), parallel_slab(24, 0.5), parallel_slab(16, 0.25)]
+        cfg = SimulationConfig(
+            n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+            convergence=1e-6, max_iter=100_000, check_every=200,
+            dtype="float64", criterion="residual",
+            output_name=str(tmp_path / "batch.csv"), num_images=3,
+            incremental_output=False,
+        )
+        out = batch_sim(cfg, imgs=imgs)
+        np.testing.assert_allclose(out[0, 3], 0.55, rtol=1e-3)
+        np.testing.assert_allclose(out[1, 3], 0.55, rtol=1e-3)
+        np.testing.assert_allclose(out[2, 3], 0.25 + 0.75 * 0.1, rtol=1e-3)
+        assert out[1, 5] == 24 * 24  # nElements per image
+
+
+class TestSingle3Phase:
+    def test_homotopy_final_only_recorded(self):
+        from effectivediffusivityfvm_tpu.io.images import three_phase_parallel_slab
+
+        img = three_phase_parallel_slab(40, svf=0.25, lvf=0.5)
+        cfg = SimulationConfig(
+            n_phase=3, d_fluid=1.0, d_solid=0.0, d_gas=200.0,
+            convergence=1e-8, max_iter=1_000_000, check_every=500,
+            dtype="float64", criterion="residual",
+        )
+        res = single_sim_3phase(cfg, img=img, write_output=False)
+        expected = 0.5 * 1.0 + 0.25 * 200.0
+        np.testing.assert_allclose(res.deff, expected, rtol=1e-5)
+        assert res.svf == pytest.approx(0.25)
+        assert res.lvf == pytest.approx(0.5)
