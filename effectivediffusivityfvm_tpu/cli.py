@@ -21,10 +21,28 @@ from .pipeline.single import single_sim, single_sim_3phase
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     path = argv[0] if argv else "input.txt"
-    cfg = parse_input_file(path)
+    try:
+        cfg = parse_input_file(path)
+    except FileNotFoundError:
+        print(f"Error: input file '{path}' not found.")
+        return 1
+    except ValueError as e:
+        print(f"Error: invalid input file: {e}")
+        return 1
     if cfg.verbose:
         print(format_options(cfg))
 
+    try:
+        return _dispatch(cfg)
+    except FileNotFoundError as e:
+        print(f"Error: could not read image: {e}")
+        return 1
+    except ValueError as e:
+        print(f"Error: {e}")
+        return 1
+
+
+def _dispatch(cfg) -> int:
     if cfg.n_phase == 2:
         if not cfg.batch_flag:
             single_sim(cfg)

@@ -47,7 +47,10 @@ class SimulationConfig:
     check_every: int = 10_000         # convergence-check cadence in sweeps
                                       #   (reference hardcodes iterToCheck=10000,
                                       #    Deff2D.cuh:1174)
-    omega: float = 2.0 / 3.0          # damped-Jacobi weight (Deff2D.cuh:72)
+    omega: float = 0.0                # relaxation factor; 0 = solver default
+                                      #   (jacobi: 2/3, the reference's hardcoded
+                                      #    weight Deff2D.cuh:72; rbsor: SOR-optimal
+                                      #    for the grid)
     criterion: str = "deff"           # "deff" (reference semantics) | "residual"
     image_dir: str = "."              # directory holding %05d.jpg batch images
     batch_size: int = 0               # 0 = solve the whole batch in one vmap group

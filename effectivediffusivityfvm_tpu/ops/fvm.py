@@ -80,6 +80,7 @@ def fvm_coefficients(
     c_left: float,
     c_right: float,
     mask: Optional[jax.Array] = None,
+    symmetric: bool = False,
 ) -> StencilCoeffs:
     """Build stencil coefficients from a diffusivity field.
 
@@ -89,6 +90,12 @@ def fvm_coefficients(
       mask: optional ``(ny, nx)`` bool; True = masked cell (impermeable solid
         or non-participating pore) becomes an identity row (3-phase mode,
         reference Deff2D.cuh:750-752).  None = plain 2-phase assembly.
+      symmetric: also zero the couplings *into* masked cells (the reference
+        zeroes only the masked row itself, leaving the matrix unsymmetric).
+        Because masked cells solve to exactly 0, dropping the incoming
+        couplings (diagonals unchanged — the conductance acts as a
+        Dirichlet-0 sink) leaves the exact solution identical while making
+        the operator SPD, which CG requires.
 
     Mirrors DiscretizeMatrix2D(_ImpSolid) exactly, with
     ``dx = 1/nx, dy = 1/ny`` (Deff2D.cuh:1679-1683).
@@ -133,6 +140,11 @@ def fvm_coefficients(
         a_s = jnp.where(mask, zero, a_s)
         diag = jnp.where(mask, one, diag)
         b = jnp.where(mask, zero, b)
+        if symmetric:
+            a_w = jnp.where(_shift_w(mask.astype(jnp.int8)) > 0, zero, a_w)
+            a_e = jnp.where(_shift_e(mask.astype(jnp.int8)) > 0, zero, a_e)
+            a_n = jnp.where(_shift_n(mask.astype(jnp.int8)) > 0, zero, a_n)
+            a_s = jnp.where(_shift_s(mask.astype(jnp.int8)) > 0, zero, a_s)
 
     diag_inv = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
     return StencilCoeffs(a_w, a_e, a_n, a_s, diag, diag_inv, b)

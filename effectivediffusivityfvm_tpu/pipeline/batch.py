@@ -42,7 +42,8 @@ __all__ = ["batch_sim", "batch_sim_3phase", "solve_image_group", "solve_image_gr
 
 
 _build_coeffs_batch = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))
-_build_coeffs_batch_masked = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None, 0))
+_build_coeffs_batch_masked = jax.vmap(
+    fvm.fvm_coefficients, in_axes=(0, None, None, 0, None))
 _flux_spec_batch = jax.vmap(make_flux_spec, in_axes=(0, None, None))
 
 
@@ -116,7 +117,8 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
                 classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype)
         )
         return (
-            _build_coeffs_batch_masked(d_field, cfg.c_left, cfg.c_right, mask),
+            _build_coeffs_batch_masked(d_field, cfg.c_left, cfg.c_right, mask,
+                                       cfg.solver == "cg"),
             _flux_spec_batch(d_field, cfg.c_left, cfg.c_right),
         )
 

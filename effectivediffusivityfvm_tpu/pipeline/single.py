@@ -194,7 +194,9 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
         d_field = jnp.asarray(
             phases.d_field_from_classes(classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype)
         )
-        coeffs = fvm.fvm_coefficients(d_field, cfg.c_left, cfg.c_right, mask=mask)
+        # CG needs the SPD (symmetrized) masked assembly; identical solution
+        coeffs = fvm.fvm_coefficients(d_field, cfg.c_left, cfg.c_right, mask=mask,
+                                      symmetric=(cfg.solver == "cg"))
         spec = make_flux_spec(d_field, cfg.c_left, cfg.c_right)
         return coeffs, spec
 

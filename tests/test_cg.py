@@ -1,0 +1,112 @@
+"""CG and red-black SOR solver tests: correctness vs direct sparse solves,
+convergence-rate superiority over Jacobi, batched freezing, and the
+symmetrized masked assembly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from effectivediffusivityfvm_tpu.ops import fvm
+from effectivediffusivityfvm_tpu.ops.flux import boundary_deff, make_flux_spec
+from effectivediffusivityfvm_tpu.solvers.cg import solve_cg, solve_cg_batched
+from effectivediffusivityfvm_tpu.solvers.jacobi import solve_jacobi
+from effectivediffusivityfvm_tpu.solvers.rbsor import solve_rbsor, omega_opt
+
+
+def to_sparse(c):
+    diag = np.asarray(c.diag)
+    ny, nx = diag.shape
+    return sp.diags(
+        [diag.ravel(),
+         -np.asarray(c.a_w).ravel()[1:], -np.asarray(c.a_e).ravel()[:-1],
+         -np.asarray(c.a_n).ravel()[nx:], -np.asarray(c.a_s).ravel()[:-nx]],
+        [0, -1, 1, -nx, nx], format="csc")
+
+
+def problem(rng, ny=20, nx=24, contrast=1e4, mask_frac=0.0, symmetric=False):
+    d = np.exp(rng.uniform(0, np.log(contrast), (ny, nx)))
+    dj = jnp.asarray(d)
+    mask = None
+    if mask_frac > 0:
+        mask = jnp.asarray(rng.random((ny, nx)) < mask_frac)
+    c = fvm.fvm_coefficients(dj, 0.0, 1.0, mask=mask, symmetric=symmetric)
+    spec = make_flux_spec(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (ny, nx))
+    return c, spec, x0, mask
+
+
+class TestCG:
+    def test_matches_direct_high_contrast(self, rng):
+        c, spec, x0, _ = problem(rng, contrast=1e6)
+        res = solve_cg(c, spec, x0, tol=1e-11, max_iter=50_000, check_every=50)
+        xd = spla.spsolve(to_sparse(c), np.asarray(c.b).ravel()).reshape(x0.shape)
+        np.testing.assert_allclose(np.asarray(res.x), xd, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(
+            float(res.deff), float(boundary_deff(spec, jnp.asarray(xd))), rtol=1e-8)
+
+    def test_symmetrized_mask_same_solution_as_reference_assembly(self, rng):
+        # The symmetric=True masked system must reproduce the *unsymmetric*
+        # reference-style system's exact solution.
+        d = np.exp(rng.uniform(0, np.log(100), (16, 16)))
+        dj = jnp.asarray(d)
+        mask = rng.random((16, 16)) < 0.3
+        c_ref = fvm.fvm_coefficients(dj, 0.0, 1.0, mask=jnp.asarray(mask))
+        c_sym = fvm.fvm_coefficients(dj, 0.0, 1.0, mask=jnp.asarray(mask), symmetric=True)
+        A_sym = to_sparse(c_sym)
+        np.testing.assert_allclose((A_sym - A_sym.T).toarray(), 0, atol=1e-14)
+        x_ref = spla.spsolve(to_sparse(c_ref), np.asarray(c_ref.b).ravel())
+        x_sym = spla.spsolve(A_sym.tocsc(), np.asarray(c_sym.b).ravel())
+        np.testing.assert_allclose(x_sym, x_ref, rtol=1e-10, atol=1e-12)
+
+    def test_cg_on_masked_system(self, rng):
+        c, spec, x0, mask = problem(rng, mask_frac=0.25, symmetric=True)
+        res = solve_cg(c, spec, x0, tol=1e-12, max_iter=50_000, check_every=50)
+        xd = spla.spsolve(to_sparse(c), np.asarray(c.b).ravel()).reshape(x0.shape)
+        np.testing.assert_allclose(np.asarray(res.x), xd, rtol=1e-6, atol=1e-9)
+
+    def test_cg_far_fewer_iterations_than_jacobi(self, rng):
+        c, spec, x0, _ = problem(rng, ny=32, nx=32, contrast=1e4)
+        cg = solve_cg(c, spec, x0, tol=1e-9, max_iter=200_000, check_every=50,
+                      criterion="residual")
+        jac = solve_jacobi(c, spec, x0, tol=1e-9, max_iter=200_000, check_every=500,
+                           criterion="residual")
+        assert int(cg.iters) * 20 < int(jac.iters)
+        assert float(fvm.residual(c, cg.x)) <= 1e-9
+
+    def test_batched_matches_singles(self, rng):
+        probs = [problem(rng, contrast=c)[:3] for c in (10.0, 1e3)]
+        kw = dict(tol=1e-10, max_iter=20_000, check_every=50)
+        singles = [solve_cg(c, s, x, **kw) for c, s, x in probs]
+        coeffs = jax.tree.map(lambda *a: jnp.stack(a), *[p[0] for p in probs])
+        spec = jax.tree.map(lambda *a: jnp.stack(a), *[p[1] for p in probs])
+        x0 = jnp.stack([p[2] for p in probs])
+        batched = solve_cg_batched(coeffs, spec, x0, **kw)
+        for k, single in enumerate(singles):
+            np.testing.assert_allclose(float(batched.deff[k]), float(single.deff),
+                                       rtol=1e-9)
+            np.testing.assert_allclose(np.asarray(batched.x[k]), np.asarray(single.x),
+                                       rtol=1e-6, atol=1e-10)
+
+
+class TestRBSOR:
+    def test_matches_direct(self, rng):
+        c, spec, x0, _ = problem(rng, contrast=100.0)
+        res = solve_rbsor(c, spec, x0, tol=1e-11, max_iter=500_000,
+                          check_every=500, criterion="residual")
+        xd = spla.spsolve(to_sparse(c), np.asarray(c.b).ravel()).reshape(x0.shape)
+        np.testing.assert_allclose(np.asarray(res.x), xd, rtol=1e-6, atol=1e-9)
+
+    def test_faster_than_jacobi(self, rng):
+        c, spec, x0, _ = problem(rng, ny=32, nx=32, contrast=100.0)
+        kw = dict(tol=1e-9, max_iter=500_000, criterion="residual")
+        sor = solve_rbsor(c, spec, x0, check_every=200, **kw)
+        jac = solve_jacobi(c, spec, x0, check_every=200, **kw)
+        assert int(sor.iters) * 3 < int(jac.iters)
+
+    def test_omega_opt_range(self):
+        w = omega_opt(512, 512)
+        assert 1.9 < w < 2.0
+        assert 1.0 < omega_opt(8, 8) < 2.0
