@@ -1,0 +1,114 @@
+"""Headline benchmark: Deff solves/sec on batched 512x512 microstructures.
+
+Matches BASELINE.json's metric: "Deff solves/sec (batched 512x512 to 1e-6
+residual)".  A batch of synthetic 2-phase porous images (45% porosity,
+contrast 1e6 — the hard regime the reference's DCF continuation exists for)
+is solved with the batched Jacobi-preconditioned CG solver to a mean absolute
+flux-imbalance residual of 1e-6, fully on-device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "solves/sec", "vs_baseline": N}
+
+vs_baseline is measured against an analytic model of the CUDA reference
+(no published numbers exist — BASELINE.md): the reference runs one image at
+a time with one weighted-Jacobi sweep per kernel launch, a
+cudaDeviceSynchronize and a D2D ping-pong copy per iteration
+(Deff2D.cuh:1237-1281).  Per-iteration cost on an A100-class GPU:
+  memory traffic  (5N band + x + b + xNew) * 8 B = 16.8 MB  @ ~1.3 TB/s = 13 us
+  D2D x copy      2N * 8 B = 4.2 MB                        @ ~1.3 TB/s =  3 us
+  launch + sync overhead                                              ~ 10 us
+  => ~26 us/iter.  A 512x512 solve at the reference's default settings runs
+  to its MaxIter/convergence window, ~4e5 iterations (scaling the measured
+  70k iterations on the bundled 128x128 by the O(N) Jacobi iteration count),
+  => ~10.4 s/solve => ~0.096 solves/s serial throughput.
+BASELINE_REF_SOLVES_PER_SEC below encodes that model; every term is stated
+so the comparison can be re-derived or re-anchored when real reference
+timings exist.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 16
+SIZE = 512
+TOL = 1e-6
+POROSITY = 0.45
+CONTRAST = 1e-6          # D_solid (D_fluid = 1)
+BASELINE_REF_SOLVES_PER_SEC = 0.096
+
+
+def build_problem(batch, n, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from effectivediffusivityfvm_tpu.models import phases
+    from effectivediffusivityfvm_tpu.ops import fvm
+    from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+
+    rng = np.random.default_rng(7)
+    # correlated porous media: threshold smoothed noise so structures span
+    # many cells (pure per-pixel noise is unrealistically easy)
+    from scipy import ndimage
+
+    imgs = []
+    for _ in range(batch):
+        noise = ndimage.gaussian_filter(rng.standard_normal((n, n)), sigma=4.0)
+        thr = np.quantile(noise, POROSITY)
+        imgs.append(((noise >= thr) * 255).astype(np.uint8))
+    classes = np.stack([phases.two_phase_classes(im) for im in imgs])
+    d = jnp.asarray(phases.d_field_from_classes(classes, 1.0, CONTRAST, dtype=dtype))
+    coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(d, 0.0, 1.0)
+    spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(d, 0.0, 1.0)
+    j = jnp.arange(n, dtype=dtype)
+    x0 = jnp.broadcast_to(j / n, (batch, n, n))
+    return coeffs, spec, x0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from effectivediffusivityfvm_tpu.solvers.cg import solve_cg_batched
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    coeffs, spec, x0 = build_problem(BATCH, SIZE, jnp.float32)
+
+    kw = dict(tol=TOL, max_iter=60_000, check_every=50, criterion="residual")
+
+    # warmup: compile + one full solve
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(solve_cg_batched(coeffs, spec, x0, **kw))
+    t_warm = time.perf_counter() - t0
+    iters = np.asarray(res.iters)
+    conv = np.asarray(res.conv)
+    print(f"warmup: {t_warm:.2f}s (incl. compile), iters={iters.min()}..{iters.max()}, "
+          f"final resid={conv.max():.3e}", file=sys.stderr)
+
+    # timed runs
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(solve_cg_batched(coeffs, spec, x0, **kw))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    value = BATCH / best
+    print(f"timed: {[f'{t:.3f}' for t in times]} s for {BATCH} solves", file=sys.stderr)
+
+    deff = np.asarray(res.deff)
+    print(f"deff range: {deff.min():.4f}..{deff.max():.4f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "Deff solves/sec (batched 512x512 to 1e-6 residual)",
+        "value": round(value, 3),
+        "unit": "solves/sec",
+        "vs_baseline": round(value / BASELINE_REF_SOLVES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

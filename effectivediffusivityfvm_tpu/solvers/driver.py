@@ -59,7 +59,13 @@ def run_single(
     max_iter: int,
     check_every: int,
     criterion: str,
+    deff_fn=None,
+    resid_fn=None,
 ) -> SolveResult:
+    """``deff_fn``/``resid_fn`` override the convergence monitors (used by the
+    sharded solvers, whose reductions need a ``psum`` over the device mesh)."""
+    deff_fn = deff_fn or (lambda x: boundary_deff(spec, x))
+    resid_fn = resid_fn or (lambda x: fvm.residual(coeffs, x))
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
 
@@ -74,11 +80,11 @@ def run_single(
         it_new = it + k
         do_check = ((it_new - 1) % check_every) == 0
 
-        deff_new = boundary_deff(spec, x)
+        deff_new = deff_fn(x)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
         else:
-            pc_new = fvm.residual(coeffs, x)
+            pc_new = resid_fn(x)
 
         deff = jnp.where(do_check, deff_new, deff)
         if criterion == "deff":
@@ -109,7 +115,16 @@ def run_batched(
     max_iter: int,
     check_every: int,
     criterion: str,
+    deff_fn=None,
+    resid_fn=None,
+    reduce_any_fn=None,
 ) -> SolveResult:
+    """``reduce_any_fn`` all-reduces the "any image still active" bool across
+    a device mesh (sharded batches must keep a globally uniform trip count so
+    the halo collectives stay in lockstep); default is a local ``jnp.any``."""
+    deff_fn = deff_fn or (lambda x: boundary_deff(spec, x))
+    resid_fn = resid_fn or (lambda x: fvm.residual(coeffs, x))
+    reduce_any_fn = reduce_any_fn or jnp.any
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
     bsz = x0.shape[0]
@@ -119,7 +134,7 @@ def run_batched(
 
     def cond(c):
         x, it, deff, deff_old, pc, conv, iters = c
-        return jnp.any(active_of(pc, it)) & (it < max_iter)
+        return reduce_any_fn(active_of(pc, it)) & (it < max_iter)
 
     def body(c):
         x, it, deff, deff_old, pc, conv, iters = c
@@ -134,11 +149,11 @@ def run_batched(
         iters = iters + jnp.where(active, k, 0)
         do_check = ((it_new - 1) % check_every) == 0
 
-        deff_new = boundary_deff(spec, x)        # (B,)
+        deff_new = deff_fn(x)                    # (B,)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
         else:
-            pc_new = fvm.residual(coeffs, x)
+            pc_new = resid_fn(x)
 
         upd = do_check & active
         deff = jnp.where(upd, deff_new, deff)

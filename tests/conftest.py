@@ -9,13 +9,18 @@ always takes explicit dtypes, so this does not leak into defaults.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session environment pins JAX_PLATFORMS to the real TPU
+# plugin; unit tests always run on the virtual 8-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The axon sitecustomize may have pinned the platform before this file ran;
+# the config update (pre-backend-init) wins over the inherited env var.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
