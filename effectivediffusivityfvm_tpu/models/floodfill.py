@@ -72,13 +72,23 @@ def _label_periodic_y(fluid: np.ndarray) -> np.ndarray:
     return roots[labels]
 
 
-def flood_fill(solid: np.ndarray) -> FloodFillResult:
+def flood_fill(solid: np.ndarray, use_native: bool = True) -> FloodFillResult:
     """Classify the non-solid space of a single image.
 
     Args:
       solid: bool (ny, nx); True = impermeable cell (2-phase: pixel > 150,
         Deff2D.cuh:1695; 3-phase: pixel > 200, Deff2D.cuh:1368).
+      use_native: try the C++ union-find library first (csrc/preprocess.cpp,
+        built lazily; see models/_native.py) — same semantics, linear time,
+        GIL-free.  Falls back to the scipy path automatically.
     """
+    if use_native:
+        from . import _native
+
+        out = _native.flood_fill_native(np.asarray(solid, bool))
+        if out is not None:
+            part, iso, flag = out
+            return FloodFillResult(part, iso, flag)
     fluid = ~np.asarray(solid, bool)
     labels = _label_periodic_y(fluid)
 

@@ -24,6 +24,9 @@ def _lookup(name: str, batched: bool):
     if name == "cg":
         from .cg import solve_cg, solve_cg_batched
         return solve_cg_batched if batched else solve_cg
+    if name == "mgcg":
+        from .multigrid import solve_mgcg, solve_mgcg_batched
+        return solve_mgcg_batched if batched else solve_mgcg
     if name == "jacobi_pallas":
         from .jacobi_pallas import solve_jacobi_pallas, solve_jacobi_pallas_batched
         return solve_jacobi_pallas_batched if batched else solve_jacobi_pallas

@@ -122,3 +122,46 @@ class TestDeviceVariant:
         part, iso, flag = participating_mask_device(solid)
         np.testing.assert_array_equal(np.asarray(part), host.participating)
         assert bool(flag) == host.path_flag
+
+
+class TestNative:
+    """C++ union-find library (csrc/preprocess.cpp) vs the scipy reference."""
+
+    def _native_or_skip(self):
+        from effectivediffusivityfvm_tpu.models import _native
+
+        if not _native.native_available():
+            pytest.skip("native preprocess library unavailable (no g++?)")
+        return _native
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_flood_fill_matches_scipy(self, seed):
+        nat = self._native_or_skip()
+        rng = np.random.default_rng(seed)
+        solid = rng.random((37, 53)) < [0.3, 0.45, 0.6][seed % 3]
+        part, iso, flag = nat.flood_fill_native(solid)
+        host = flood_fill(solid, use_native=False)
+        np.testing.assert_array_equal(part, host.participating)
+        np.testing.assert_array_equal(iso, host.isolated)
+        assert flag == host.path_flag
+
+    def test_porosity_and_classify(self):
+        nat = self._native_or_skip()
+        from effectivediffusivityfvm_tpu.models import phases
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (64, 48), dtype=np.uint8)
+        assert nat.porosity_native(img) == pytest.approx(phases.porosity(img))
+        np.testing.assert_array_equal(
+            nat.classify_two_phase_native(img), phases.two_phase_classes(img))
+        np.testing.assert_array_equal(
+            nat.classify_three_phase_native(img), phases.three_phase_classes(img))
+
+    def test_edge_cases(self):
+        nat = self._native_or_skip()
+        for solid in (np.zeros((3, 3), bool), np.ones((3, 3), bool),
+                      np.zeros((1, 5), bool), np.zeros((5, 1), bool)):
+            part, iso, flag = nat.flood_fill_native(solid)
+            host = flood_fill(solid, use_native=False)
+            np.testing.assert_array_equal(part, host.participating)
+            assert flag == host.path_flag
