@@ -142,7 +142,9 @@ def run_batched(
         k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
 
         def one(_, xc):
-            return jnp.where(active[:, None, None], sweep(xc), xc)
+            # expand (B,) activity over however many grid dims follow (2D/3D)
+            keep = active.reshape(active.shape + (1,) * (xc.ndim - 1))
+            return jnp.where(keep, sweep(xc), xc)
 
         x = jax.lax.fori_loop(0, k, one, x)
         it_new = it + k

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
 from .driver import SolveResult
+from .pcg import run_pcg
 
 __all__ = ["build_hierarchy", "v_cycle", "solve_mgcg", "solve_mgcg_batched"]
 
@@ -200,100 +201,21 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
 
 def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                batched, nu1, nu2, omega, coarse_iters, min_size, over):
-    dtype = x0.dtype
-    tol_ = jnp.asarray(tol, dtype)
     levels = build_hierarchy(coeffs, min_size=min_size)
 
     def precond(r):
         return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
                        coarse_iters=coarse_iters, over=over)
 
-    def _dot(a, b):
-        return jnp.sum(a * b, axis=(-2, -1))
-
-    def _mean_abs(a):
-        return jnp.mean(jnp.abs(a), axis=(-2, -1))
-
-    def expand(v):
-        return v[..., None, None] if batched else v
-
-    def matvec(p):
-        return fvm.apply_operator(coeffs, p)
-
-    def fresh(x):
-        r = coeffs.b - matvec(x)
-        z = precond(r)
-        return r, z, _dot(r, z)
-
-    def body_iter(s, active):
-        x, r, z, p, rz = s
-        ap = matvec(p)
-        pap = _dot(p, ap)
-        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-        if batched:
-            alpha = jnp.where(active, alpha, 0.0)
-        x = x + expand(alpha) * p
-        r = r - expand(alpha) * ap
-        z_new = precond(r)
-        rz_new = _dot(r, z_new)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = z_new + expand(beta) * p
-        if batched:
-            keep = expand(active)
-            return (x, r, z_new, p, jnp.where(active, rz_new, rz))
-        return (x, r, z_new, p, rz_new)
-
-    def cond(c):
-        *_, it, deff, deff_old, pc, conv, iters = c
-        alive = tol_ < jnp.abs(pc)
-        if batched:
-            return jnp.any(alive) & (it < max_iter)
-        return (it < max_iter) & alive
-
-    def body(c):
-        x, r, z, p, rz, it, deff, deff_old, pc, conv, iters = c
-        active = (tol_ < jnp.abs(pc)) if batched else None
-        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
-        x, r, z, p, rz = jax.lax.fori_loop(
-            0, k, lambda _, s: body_iter(s, active), (x, r, z, p, rz))
-        it_new = it + k
-        if batched:
-            iters = iters + jnp.where(active, k, 0)
-        else:
-            iters = it_new
-        do_check = ((it_new - 1) % check_every) == 0
-
-        r_true, z_true, rz_true = fresh(x)
-        refresh = expand(do_check & active) if batched else do_check
-        r = jnp.where(refresh, r_true, r)
-        z = jnp.where(refresh, z_true, z)
-        p = jnp.where(refresh, z_true, p)
-        rz = jnp.where((do_check & active) if batched else do_check, rz_true, rz)
-
-        deff_new = boundary_deff(spec, x)
-        if criterion == "deff":
-            pc_new = (deff_old - deff_new) / deff_old
-        else:
-            pc_new = _mean_abs(r_true)
-
-        upd = (do_check & active) if batched else do_check
-        deff = jnp.where(upd, deff_new, deff)
-        if criterion == "deff":
-            deff_old = jnp.where(upd, deff_new, deff_old)
-        pc = jnp.where(upd, pc_new, pc)
-        conv = jnp.where(upd, pc_new, conv)
-        return (x, r, z, p, rz, it_new, deff, deff_old, pc, conv, iters)
-
-    r0, z0, rz0 = fresh(x0)
-    bshape = x0.shape[:-2]
-    scal = (lambda v: jnp.full(bshape, v, dtype)) if batched else (lambda v: jnp.asarray(v, dtype))
-    it0 = jnp.asarray(0, jnp.int32)
-    iters0 = jnp.zeros(bshape, jnp.int32) if batched else it0
-    init = (x0, r0, z0, z0, rz0, it0, scal(1.0), scal(5.0), scal(100.0),
-            scal(100.0), iters0)
-    out = jax.lax.while_loop(cond, body, init)
-    x, *_, deff, _, _, conv, iters = out
-    return SolveResult(x=x, deff=deff, conv=conv, iters=iters)
+    return run_pcg(
+        matvec=lambda p: fvm.apply_operator(coeffs, p),
+        precond=precond,
+        b=coeffs.b,
+        x0=x0,
+        deff_fn=lambda x: boundary_deff(spec, x),
+        tol=tol, max_iter=max_iter, check_every=check_every,
+        criterion=criterion, grid_ndim=2, batched=batched,
+    )
 
 
 @functools.partial(

@@ -1,0 +1,276 @@
+"""3D solver suite: weighted Jacobi, diagonal-PCG, and multigrid-PCG on the
+7-point voxel operator (BASELINE.json config 5).
+
+Thin compositions of the shared engines:
+  * the sweep driver (solvers/driver.py) with the 3D Jacobi sweep,
+  * the PCG engine (solvers/pcg.py) with the 3D matvec and either the
+    reciprocal diagonal or a 2x2x2 aggregation-Galerkin V-cycle
+    (closed form like the 2D one; internal couplings now count the
+    within-block faces of all three axes).
+
+All solvers share the framework's stopping semantics and return
+:class:`SolveResult`.  Batched variants take ``(B, nz, ny, nx)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fvm3d
+from ..ops.fvm3d import StencilCoeffs3D, boundary_deff_3d
+from . import driver
+from .driver import SolveResult
+from .pcg import run_pcg
+
+__all__ = [
+    "solve_jacobi_3d", "solve_cg_3d", "solve_mgcg_3d",
+    "solve_jacobi_3d_batched", "solve_cg_3d_batched", "solve_mgcg_3d_batched",
+    "coarsen_3d", "build_hierarchy_3d", "v_cycle_3d",
+]
+
+
+# --------------------------------------------------------------------------
+# 3D aggregation-Galerkin multigrid
+# --------------------------------------------------------------------------
+
+def _pad_even_3d(c: StencilCoeffs3D) -> StencilCoeffs3D:
+    nz, ny, nx = c.diag.shape[-3:]
+    pz, py, px = nz % 2, ny % 2, nx % 2
+    if not (pz or py or px):
+        return c
+    lead = c.diag.ndim - 3
+    pad = [(0, 0)] * lead + [(0, pz), (0, py), (0, px)]
+
+    def z(a):
+        return jnp.pad(a, pad)
+
+    diag = jnp.pad(c.diag, pad, constant_values=1.0)
+    return StencilCoeffs3D(
+        a_w=z(c.a_w), a_e=z(c.a_e), a_n=z(c.a_n), a_s=z(c.a_s),
+        a_u=z(c.a_u), a_d=z(c.a_d),
+        diag=diag,
+        diag_inv=jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0),
+        b=z(c.b),
+    )
+
+
+def _blocks3(a):
+    nz, ny, nx = a.shape[-3:]
+    return a.reshape(a.shape[:-3] + (nz // 2, 2, ny // 2, 2, nx // 2, 2))
+
+
+def restrict_3d(r):
+    return _blocks3(r).sum(axis=(-5, -3, -1))
+
+
+def prolong_3d(e):
+    for ax in (-3, -2, -1):
+        e = jnp.repeat(e, 2, axis=ax)
+    return e
+
+
+def coarsen_3d(c: StencilCoeffs3D) -> StencilCoeffs3D:
+    """Galerkin R A P for aligned 2x2x2 aggregation of a 7-point stencil
+    (closed form; the 3D analog of the 2D derivation in
+    solvers/multigrid.py)."""
+    c = _pad_even_3d(c)
+    ae_b = _blocks3(c.a_e)   # (..., K,2, I,2, J,2)
+    as_b = _blocks3(c.a_s)
+    ad_b = _blocks3(c.a_d)
+
+    # crossing faces: fine couplings at odd index along their axis, summed
+    # over the block's other two axes.  Block layout after _blocks3 is
+    # (..., K, 2z, I, 2y, J, 2x); selecting one block axis shifts the
+    # positions of the remaining two:
+    a_e_c = ae_b[..., :, :, :, :, :, 1].sum(axis=(-4, -2))   # left: (K,2z,I,2y,J)
+    a_s_c = as_b[..., :, :, :, 1, :, :].sum(axis=(-4, -1))   # left: (K,2z,I,J,2x)
+    a_d_c = ad_b[..., :, 1, :, :, :, :].sum(axis=(-3, -1))   # left: (K,I,2y,J,2x)
+
+    # internal (within-block) couplings at even index along their axis
+    internal = (
+        ae_b[..., :, :, :, :, :, 0].sum(axis=(-4, -2))
+        + as_b[..., :, :, :, 0, :, :].sum(axis=(-4, -1))
+        + ad_b[..., :, 0, :, :, :, :].sum(axis=(-3, -1))
+    )
+
+    diag_c = restrict_3d(c.diag) - 2.0 * internal
+    b_c = restrict_3d(c.b)
+
+    zx = jnp.zeros_like(a_e_c[..., :, :, :1])
+    zy = jnp.zeros_like(a_s_c[..., :, :1, :])
+    zz = jnp.zeros_like(a_d_c[..., :1, :, :])
+    a_e_c = jnp.concatenate([a_e_c[..., :, :, :-1], zx], axis=-1)
+    a_w_c = jnp.concatenate([zx, a_e_c[..., :, :, :-1]], axis=-1)
+    a_s_c = jnp.concatenate([a_s_c[..., :, :-1, :], zy], axis=-2)
+    a_n_c = jnp.concatenate([zy, a_s_c[..., :, :-1, :]], axis=-2)
+    a_d_c = jnp.concatenate([a_d_c[..., :-1, :, :], zz], axis=-3)
+    a_u_c = jnp.concatenate([zz, a_d_c[..., :-1, :, :]], axis=-3)
+
+    floor = jnp.asarray(1e-6, diag_c.dtype) * restrict_3d(c.diag)
+    ok = diag_c > floor
+    diag_inv = jnp.where(ok, 1.0 / jnp.where(ok, diag_c, 1.0), 0.0)
+    return StencilCoeffs3D(a_w_c, a_e_c, a_n_c, a_s_c, a_u_c, a_d_c,
+                           diag_c, diag_inv, b_c)
+
+
+def build_hierarchy_3d(c: StencilCoeffs3D, min_size: int = 4) -> List[StencilCoeffs3D]:
+    levels = [c]
+    while min(c.diag.shape[-3:]) > min_size:
+        c = coarsen_3d(c)
+        levels.append(c)
+    return levels
+
+
+def _smooth_3d(c, x, b, omega):
+    num = b + fvm3d.neighbor_sum_3d(c, x)
+    return (1.0 - omega) * x + omega * num * c.diag_inv
+
+
+def _pad_to_3d(r, shape):
+    pz = shape[-3] - r.shape[-3]
+    py = shape[-2] - r.shape[-2]
+    px = shape[-1] - r.shape[-1]
+    if pz or py or px:
+        lead = r.ndim - 3
+        r = jnp.pad(r, [(0, 0)] * lead + [(0, pz), (0, py), (0, px)])
+    return r
+
+
+def v_cycle_3d(levels, r, *, nu1=1, nu2=1, omega=0.8, coarse_iters=32,
+               level=0, over=1.8):
+    c = levels[level]
+    shp = c.diag.shape
+    r_lvl = _pad_to_3d(r, shp)
+
+    if level == len(levels) - 1:
+        e = jnp.zeros_like(r_lvl)
+        for _ in range(coarse_iters):
+            e = _smooth_3d(c, e, r_lvl, omega)
+        return e[..., :r.shape[-3], :r.shape[-2], :r.shape[-1]]
+
+    e = jnp.zeros_like(r_lvl)
+    for _ in range(nu1):
+        e = _smooth_3d(c, e, r_lvl, omega)
+
+    res = r_lvl - (c.diag * e - fvm3d.neighbor_sum_3d(c, e))
+    nxt = levels[level + 1].diag.shape
+    res = _pad_to_3d(res, res.shape[:-3] + (2 * nxt[-3], 2 * nxt[-2], 2 * nxt[-1]))
+    e_c = v_cycle_3d(levels, restrict_3d(res), nu1=nu1, nu2=nu2, omega=omega,
+                     coarse_iters=coarse_iters, level=level + 1, over=over)
+    e = e + over * prolong_3d(e_c)[..., :shp[-3], :shp[-2], :shp[-1]]
+
+    for _ in range(nu2):
+        e = _smooth_3d(c, e, r_lvl, omega)
+    return e[..., :r.shape[-3], :r.shape[-2], :r.shape[-1]]
+
+
+# --------------------------------------------------------------------------
+# Solvers
+# --------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
+)
+def solve_jacobi_3d(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
+                    tol: float = 1e-5, max_iter: int = 500_000,
+                    check_every: int = 10_000, criterion: str = "deff") -> SolveResult:
+    omega = omega or 2.0 / 3.0
+    return driver.run_single(
+        lambda x: fvm3d.jacobi_sweep_3d(coeffs, x, omega),
+        coeffs, None, x0,
+        tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
+        deff_fn=lambda x: boundary_deff_3d(spec, x),
+        resid_fn=lambda x: fvm3d.residual_3d(coeffs, x),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
+)
+def solve_jacobi_3d_batched(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
+                            tol: float = 1e-5, max_iter: int = 500_000,
+                            check_every: int = 10_000,
+                            criterion: str = "deff") -> SolveResult:
+    omega = omega or 2.0 / 3.0
+    return driver.run_batched(
+        lambda x: fvm3d.jacobi_sweep_3d(coeffs, x, omega),
+        coeffs, None, x0,
+        tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
+        deff_fn=lambda x: boundary_deff_3d(spec, x),
+        resid_fn=lambda x: fvm3d.residual_3d(coeffs, x),
+    )
+
+
+def _pcg3(coeffs, spec, x0, precond, batched, *, tol, max_iter, check_every, criterion):
+    return run_pcg(
+        matvec=lambda p: fvm3d.apply_operator_3d(coeffs, p),
+        precond=precond,
+        b=coeffs.b,
+        x0=x0,
+        deff_fn=lambda x: boundary_deff_3d(spec, x),
+        tol=tol, max_iter=max_iter, check_every=check_every,
+        criterion=criterion, grid_ndim=3, batched=batched,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
+)
+def solve_cg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
+                max_iter: int = 100_000, check_every: int = 10_000,
+                criterion: str = "residual") -> SolveResult:
+    return _pcg3(coeffs, spec, x0, lambda r: coeffs.diag_inv * r, False,
+                 tol=tol, max_iter=max_iter, check_every=min(check_every, 100),
+                 criterion=criterion)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
+)
+def solve_cg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
+                        max_iter: int = 100_000, check_every: int = 10_000,
+                        criterion: str = "residual") -> SolveResult:
+    return _pcg3(coeffs, spec, x0, lambda r: coeffs.diag_inv * r, True,
+                 tol=tol, max_iter=max_iter, check_every=min(check_every, 100),
+                 criterion=criterion)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
+                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
+)
+def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
+                  max_iter: int = 10_000, check_every: int = 10_000,
+                  criterion: str = "residual", nu1: int = 1, nu2: int = 1,
+                  mg_omega: float = 0.8, coarse_iters: int = 32,
+                  min_size: int = 4, over: float = 1.8) -> SolveResult:
+    levels = build_hierarchy_3d(coeffs, min_size=min_size)
+    precond = lambda r: v_cycle_3d(levels, r, nu1=nu1, nu2=nu2, omega=mg_omega,
+                                   coarse_iters=coarse_iters, over=over)
+    return _pcg3(coeffs, spec, x0, precond, False,
+                 tol=tol, max_iter=max_iter, check_every=min(check_every, 10),
+                 criterion=criterion)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
+                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
+)
+def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
+                          tol: float = 1e-8, max_iter: int = 10_000,
+                          check_every: int = 10_000, criterion: str = "residual",
+                          nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
+                          coarse_iters: int = 32, min_size: int = 4,
+                          over: float = 1.8) -> SolveResult:
+    levels = build_hierarchy_3d(coeffs, min_size=min_size)
+    precond = lambda r: v_cycle_3d(levels, r, nu1=nu1, nu2=nu2, omega=mg_omega,
+                                   coarse_iters=coarse_iters, over=over)
+    return _pcg3(coeffs, spec, x0, precond, True,
+                 tol=tol, max_iter=max_iter, check_every=min(check_every, 10),
+                 criterion=criterion)

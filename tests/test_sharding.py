@@ -68,3 +68,58 @@ def test_uneven_contrast_convergence_sharded(rng):
     got = sharded_solve_jacobi(c, spec, x0, mesh, **kw)
     assert int(got.iters) == int(ref.iters)
     assert float(fvm.residual(c, got.x)) <= 1e-9
+
+
+class TestSharded3D:
+    def _problem3d(self, rng, nz=16, ny=12, nx=10):
+        from effectivediffusivityfvm_tpu.ops import fvm3d
+
+        d = np.exp(rng.uniform(0, np.log(1e3), (nz, ny, nx)))
+        dj = jnp.asarray(d)
+        c = fvm3d.fvm_coefficients_3d(dj, 0.0, 1.0)
+        spec = fvm3d.make_flux_spec_3d(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (nz, ny, nx))
+        return c, spec, x0
+
+    def test_sharded_jacobi_equals_unsharded(self, rng):
+        from effectivediffusivityfvm_tpu.parallel.halo3d import sharded_solve_jacobi_3d
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import solve_jacobi_3d
+
+        c, spec, x0 = self._problem3d(rng)
+        mesh = make_mesh(8, dp=1)
+        kw = dict(omega=2.0 / 3.0, tol=1e-7, max_iter=50_000, check_every=100)
+        ref = solve_jacobi_3d(c, spec, x0, **kw)
+        got = sharded_solve_jacobi_3d(c, spec, x0, mesh, **kw)
+        assert int(got.iters) == int(ref.iters)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-12)
+
+    def test_sharded_cg_equals_unsharded(self, rng):
+        from effectivediffusivityfvm_tpu.parallel.halo3d import sharded_solve_cg_3d
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import solve_cg_3d
+
+        c, spec, x0 = self._problem3d(rng)
+        mesh = make_mesh(8, dp=1)
+        kw = dict(tol=1e-9, max_iter=50_000, check_every=50)
+        ref = solve_cg_3d(c, spec, x0, **kw)
+        got = sharded_solve_cg_3d(c, spec, x0, mesh, **kw)
+        assert int(got.iters) == int(ref.iters)
+        np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-8, atol=1e-11)
+
+    def test_sharded_cg_batched_dp_sp(self, rng):
+        from effectivediffusivityfvm_tpu.parallel.halo3d import sharded_solve_cg_3d
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import solve_cg_3d_batched
+
+        probs = [self._problem3d(rng, nz=8, ny=6, nx=6) for _ in range(2)]
+        coeffs = jax.tree.map(lambda *a: jnp.stack(a), *[p[0] for p in probs])
+        spec = jax.tree.map(lambda *a: jnp.stack(a), *[p[1] for p in probs])
+        x0 = jnp.stack([p[2] for p in probs])
+        mesh = make_mesh(8, dp=2)
+        kw = dict(tol=1e-8, max_iter=20_000, check_every=50)
+        ref = solve_cg_3d_batched(coeffs, spec, x0, **kw)
+        got = sharded_solve_cg_3d(coeffs, spec, x0, mesh, **kw)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-9)
