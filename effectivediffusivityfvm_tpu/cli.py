@@ -43,6 +43,20 @@ def main(argv=None) -> int:
 
 
 def _dispatch(cfg) -> int:
+    if cfg.input_name.endswith((".npy", ".npz")) and not cfg.batch_flag:
+        # 3D voxel volume path (no reference equivalent; BASELINE config 5)
+        import numpy as np
+
+        from .pipeline.volume import volume_sim, volume_sim_3phase
+
+        vol = np.load(cfg.input_name)
+        if hasattr(vol, "files"):
+            vol = vol[vol.files[0]]
+        if cfg.n_phase == 2:
+            volume_sim(cfg, vol, write_output=True)
+        else:
+            volume_sim_3phase(cfg, vol, write_output=True)
+        return 0
     if cfg.n_phase == 2:
         if not cfg.batch_flag:
             single_sim(cfg)

@@ -1,0 +1,152 @@
+"""3D voxel-domain simulation pipeline (the 3D analog of pipeline/single.py).
+
+Input is a ``(nz, ny, nx)`` uint8 voxel volume (e.g. a ``.npy`` micro-CT
+stack) with the same grayscale phase conventions as 2D images.  The pipeline
+mirrors the 2D orchestration: porosity / phase fractions, 3D flood-fill
+screening, diffusivity-field build, DCF continuation (2-phase) or DCG
+homotopy (3-phase) with warm starts, and a solve on the 7-point operator —
+by default multigrid-PCG, optionally sharded as z-slabs over a device mesh
+for volumes beyond one chip's HBM (parallel/halo3d.py).
+
+CSV output reuses the reference schemas with ``nElements`` = voxel count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimulationConfig
+from ..io import writers
+from ..models import phases, volume
+from ..ops import fvm3d
+from ..solvers import solvers3d
+from ..utils.logging import vprint
+from ..utils.timing import time_fn
+from .single import dcf_stages, dcg_stages
+
+__all__ = ["VolumeResult", "volume_sim", "volume_sim_3phase"]
+
+
+@dataclasses.dataclass
+class VolumeResult:
+    deff: float
+    porosity: float
+    path_flag: bool
+    time_s: float
+    n_elements: int
+    conv: float
+    iters: int
+    x: np.ndarray
+    svf: float = 0.0
+    lvf: float = 0.0
+
+
+_SOLVERS = {
+    "jacobi": solvers3d.solve_jacobi_3d,
+    "cg": solvers3d.solve_cg_3d,
+    "mgcg": solvers3d.solve_mgcg_3d,
+}
+
+
+def _solve3d(cfg, coeffs, spec, x, tol, max_iter):
+    name = cfg.solver if cfg.solver in _SOLVERS else "mgcg"
+    fn = _SOLVERS[name]
+    return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
+              check_every=cfg.check_every, criterion=cfg.criterion)
+
+
+def _linear_init_3d(nz, ny, nx, cl, cr, dtype):
+    j = jnp.arange(nx, dtype=dtype)
+    return jnp.broadcast_to(j / nx * (cr - cl) + cl, (nz, ny, nx))
+
+
+def volume_sim(cfg: SimulationConfig, vol: np.ndarray,
+               write_output: bool = False) -> VolumeResult:
+    """2-phase voxel pipeline with DCF continuation."""
+    cfg.validate()
+    if vol.ndim != 3:
+        raise ValueError("expected a (nz, ny, nx) voxel volume")
+    poro = volume.porosity_3d(vol)
+    ff = volume.flood_fill_3d(vol > 150)
+    classes = volume.amplify_3d(
+        phases.two_phase_classes(vol), cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+    nz, ny, nx = classes.shape
+    dtype = cfg.np_dtype
+    x = _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype)
+
+    deff = conv = float("nan")
+    iters = 0
+    time_s = 0.0
+    for dcf in dcf_stages(cfg.d_fluid):
+        d_field = jnp.asarray(
+            phases.d_field_from_classes(classes, dcf, cfg.d_solid, dtype=dtype))
+        coeffs = fvm3d.fvm_coefficients_3d(d_field, cfg.c_left, cfg.c_right)
+        spec = fvm3d.make_flux_spec_3d(d_field, cfg.c_left, cfg.c_right)
+        res, dt = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence, cfg.max_iter)
+        x = res.x
+        deff = float(res.deff) / dcf
+        conv = float(res.conv)
+        iters = int(res.iters)
+        time_s += dt
+        vprint(cfg.verbose, f"DCF = {dcf}, Deff {deff} ({iters} iters)")
+
+    result = VolumeResult(deff=deff, porosity=poro, path_flag=ff.path_flag,
+                          time_s=time_s, n_elements=classes.size, conv=conv,
+                          iters=iters, x=np.asarray(x))
+    if write_output:
+        writers.write_single(cfg.output_name, cfg.input_name, poro,
+                             ff.path_flag, deff, time_s, classes.size, conv,
+                             cfg.d_solid, cfg.d_fluid)
+    return result
+
+
+def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
+                      write_output: bool = False) -> VolumeResult:
+    """3-phase voxel pipeline: solid/isolated masking + DCG homotopy."""
+    cfg.validate()
+    if vol.ndim != 3:
+        raise ValueError("expected a (nz, ny, nx) voxel volume")
+    ff = volume.flood_fill_3d(vol > 200)
+    classes = volume.amplify_3d(
+        phases.three_phase_classes(vol), cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+    mask_np = volume.amplify_3d((vol > 200) | ff.isolated,
+                                cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+    nz, ny, nx = classes.shape
+    dtype = cfg.np_dtype
+    mask = jnp.asarray(mask_np)
+    svf, lvf = phases.phase_fractions(classes)
+    x = _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype)
+
+    symmetric = cfg.solver in ("cg", "mgcg")
+
+    def build(dcg_val):
+        d_field = jnp.asarray(phases.d_field_from_classes(
+            classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype))
+        coeffs = fvm3d.fvm_coefficients_3d(d_field, cfg.c_left, cfg.c_right,
+                                           mask=mask, symmetric=symmetric)
+        spec = fvm3d.make_flux_spec_3d(d_field, cfg.c_left, cfg.c_right)
+        return coeffs, spec
+
+    for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+        vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
+        coeffs, spec = build(dcg_t)
+        res = _solve3d(cfg, coeffs, spec, x, cfg.convergence * 10, 1_000_000)
+        x = res.x
+
+    coeffs, spec = build(cfg.d_gas)
+    res, time_s = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence, cfg.max_iter)
+    deff = float(res.deff) / cfg.d_fluid
+    result = VolumeResult(deff=deff, porosity=0.0, path_flag=ff.path_flag,
+                          time_s=time_s, n_elements=classes.size,
+                          conv=float(res.conv), iters=int(res.iters),
+                          x=np.asarray(res.x), svf=svf, lvf=lvf)
+    if write_output:
+        writers.write_single_3phase(cfg.output_name, cfg.input_name, svf, lvf,
+                                    ff.path_flag, deff, time_s, classes.size,
+                                    float(res.conv), cfg.d_solid, cfg.d_fluid,
+                                    cfg.d_gas)
+    return result

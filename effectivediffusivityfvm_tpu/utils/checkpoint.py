@@ -1,0 +1,92 @@
+"""Solver-state checkpoint/resume (aux subsystem, SURVEY.md §5).
+
+The reference explicitly lacks this ("if the code is interrupted, all
+progress is lost. I am working on a better option", documentation PDF §3.6);
+its only state reuse is the warm start across continuation stages
+(ConcentrationDist carried between solves, Deff2D.cuh:1793/2008).
+
+Two layers here:
+  * batch-level resume — IncrementalBatchWriter (io/writers.py) already
+    makes interrupted datagen batches restartable from the last finished
+    image;
+  * solve-level checkpoints — this module saves/loads the concentration
+    field(s) + progress counters as a compressed ``.npz``, so a long 3D
+    solve can be resumed by warm-starting from the saved field (all solvers
+    accept ``x0``; the framework's warm-start semantics are tested in
+    tests/test_solvers.py).  Optionally wraps a solve with periodic
+    checkpoint emission by splitting ``max_iter`` into segments.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+__all__ = ["save_state", "load_state", "checkpointed_solve"]
+
+
+def save_state(path: str, x, iters=0, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Atomically write a solve checkpoint (field + progress)."""
+    payload = {"x": np.asarray(x), "iters": np.asarray(iters)}
+    if meta:
+        for k, v in meta.items():
+            payload[f"meta_{k}"] = np.asarray(v)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(fh, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_state(path: str):
+    """Returns (x, iters, meta) or None if no checkpoint exists."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        x = z["x"]
+        iters = int(z["iters"])
+        meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+    return x, iters, meta
+
+
+def checkpointed_solve(solve_fn, coeffs, spec, x0, *, checkpoint_path: str,
+                       segment_iters: int, max_iter: int, **solve_kw):
+    """Run ``solve_fn`` in segments of ``segment_iters``, checkpointing the
+    field after each segment; resumes from an existing checkpoint.
+
+    ``solve_fn`` is any framework solver (same signature family).  Returns
+    the final SolveResult with ``iters`` counting all segments (including
+    previously checkpointed ones).
+    """
+    done = 0
+    state = load_state(checkpoint_path)
+    if state is not None:
+        x_saved, done, _ = state
+        import jax.numpy as jnp
+
+        x0 = jnp.asarray(x_saved, dtype=x0.dtype)
+
+    res = None
+    while done < max_iter:
+        seg = min(segment_iters, max_iter - done)
+        res = solve_fn(coeffs, spec, x0, max_iter=seg, **solve_kw)
+        total = done + int(np.max(np.asarray(res.iters)))
+        save_state(checkpoint_path, res.x, total)
+        x0 = res.x
+        # converged before exhausting the segment -> stop
+        if int(np.max(np.asarray(res.iters))) < seg:
+            done = total
+            break
+        done += seg
+
+    if res is not None:
+        res = res._replace(iters=np.asarray(done, dtype=np.int32))
+    return res

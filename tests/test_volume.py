@@ -1,0 +1,151 @@
+"""3D voxel pipeline + aux-subsystem tests (flood_fill_3d, checkpoint/resume,
+run manifest)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from effectivediffusivityfvm_tpu.config import SimulationConfig
+from effectivediffusivityfvm_tpu.models.volume import flood_fill_3d, porosity_3d
+from effectivediffusivityfvm_tpu.pipeline.volume import volume_sim, volume_sim_3phase
+
+
+class TestFloodFill3D:
+    def test_open_channel(self):
+        solid = np.ones((4, 4, 5), bool)
+        solid[1, 1, :] = False
+        r = flood_fill_3d(solid)
+        assert r.path_flag
+        assert r.participating[1, 1].all()
+
+    def test_isolated_cavity(self):
+        solid = np.ones((5, 5, 5), bool)
+        solid[2, 2, 2] = False
+        r = flood_fill_3d(solid)
+        assert not r.path_flag
+        assert r.isolated[2, 2, 2]
+        assert not r.participating.any()
+
+    def test_periodic_z(self):
+        # channel that needs the z wrap: fluid at z=0 and z=-1 connected
+        # through the periodic boundary, reaching both x faces
+        solid = np.ones((4, 3, 6), bool)
+        solid[0, 1, :3] = False      # left half at z=0
+        solid[-1, 1, 2:] = False     # right half at z=last (overlap at x=2)
+        r = flood_fill_3d(solid)
+        assert r.path_flag
+
+    def test_all_fluid(self):
+        r = flood_fill_3d(np.zeros((3, 3, 3), bool))
+        assert r.path_flag and r.participating.all()
+
+
+class TestVolumePipeline:
+    def test_parallel_slabs_2phase(self):
+        n = 16
+        vol = np.full((n, n, n), 255, np.uint8)
+        vol[: n // 2] = 0   # 50% fluid z-slabs spanning x
+        cfg = SimulationConfig(
+            n_phase=2, d_fluid=1.0, d_solid=0.1, convergence=1e-10,
+            max_iter=2000, check_every=10, dtype="float64",
+            criterion="residual", solver="mgcg",
+        )
+        res = volume_sim(cfg, vol)
+        np.testing.assert_allclose(res.deff, 0.5 * 1.0 + 0.5 * 0.1, rtol=1e-6)
+        assert res.path_flag
+        assert res.porosity == pytest.approx(0.5)
+        assert res.n_elements == n ** 3
+
+    def test_three_phase_parallel(self):
+        n = 16
+        vol = np.zeros((n, n, n), np.uint8)       # gas
+        vol[: n // 4] = 255                       # 25% solid
+        vol[n // 4: n // 4 + n // 2] = 150        # 50% fluid
+        cfg = SimulationConfig(
+            n_phase=3, d_fluid=1.0, d_solid=0.0, d_gas=50.0,
+            convergence=1e-10, max_iter=4000, check_every=10,
+            dtype="float64", criterion="residual", solver="mgcg",
+        )
+        res = volume_sim_3phase(cfg, vol)
+        np.testing.assert_allclose(res.deff, 0.5 * 1.0 + 0.25 * 50.0, rtol=1e-5)
+        assert res.svf == pytest.approx(0.25)
+        assert res.lvf == pytest.approx(0.5)
+
+    def test_cli_npy_path(self, tmp_path, monkeypatch):
+        from effectivediffusivityfvm_tpu.cli import main
+
+        n = 12
+        vol = np.full((n, n, n), 255, np.uint8)
+        vol[: n // 2] = 0
+        np.save(tmp_path / "vol.npy", vol)
+        (tmp_path / "in.txt").write_text(
+            f"Phases: 2\nDs: 0.1\nDf: 1\nInputName: {tmp_path}/vol.npy\n"
+            f"CR: 1\nCL: 0\nOutputName: {tmp_path}/vol.csv\n"
+            "Convergence: 1e-8\nMaxIter: 2000\nCheckEvery: 10\n"
+            "Solver: mgcg\nCriterion: residual\nDtype: float64\n")
+        assert main([str(tmp_path / "in.txt")]) == 0
+        lines = (tmp_path / "vol.csv").read_text().splitlines()
+        assert len(lines) == 2
+        deff = float(lines[1].split(",")[3])
+        np.testing.assert_allclose(deff, 0.55, rtol=1e-4)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from effectivediffusivityfvm_tpu.utils.checkpoint import load_state, save_state
+
+        x = np.random.default_rng(0).random((8, 8))
+        p = str(tmp_path / "ck.npz")
+        save_state(p, x, iters=123)
+        x2, it, _ = load_state(p)
+        np.testing.assert_array_equal(x2, x)
+        assert it == 123
+        assert load_state(str(tmp_path / "missing.npz")) is None
+
+    def test_checkpointed_solve_resumes(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from effectivediffusivityfvm_tpu.ops import fvm
+        from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+        from effectivediffusivityfvm_tpu.solvers.jacobi import solve_jacobi
+        from effectivediffusivityfvm_tpu.utils.checkpoint import (
+            checkpointed_solve,
+            load_state,
+        )
+
+        d = np.exp(rng.uniform(0, np.log(100), (12, 12)))
+        dj = jnp.asarray(d)
+        c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+        spec = make_flux_spec(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(12, dtype=jnp.float64) / 12, (12, 12))
+        p = str(tmp_path / "solve.npz")
+        kw = dict(tol=1e-10, check_every=50, criterion="residual")
+
+        res = checkpointed_solve(solve_jacobi, c, spec, x0,
+                                 checkpoint_path=p, segment_iters=500,
+                                 max_iter=100_000, **kw)
+        assert os.path.exists(p)
+        ref = solve_jacobi(c, spec, x0, max_iter=100_000, **kw)
+        np.testing.assert_allclose(float(res.deff), float(ref.deff), rtol=1e-8)
+
+        # a rerun resumes from the converged checkpoint and finishes instantly
+        res2 = checkpointed_solve(solve_jacobi, c, spec, x0,
+                                  checkpoint_path=p, segment_iters=500,
+                                  max_iter=100_000, **kw)
+        np.testing.assert_allclose(float(res2.deff), float(ref.deff), rtol=1e-8)
+
+
+class TestManifest:
+    def test_manifest_roundtrip(self, tmp_path):
+        import json
+
+        from effectivediffusivityfvm_tpu.utils.profiling import RunManifest
+
+        m = RunManifest(str(tmp_path / "run.json"))
+        m.set_config(SimulationConfig())
+        m.add(img=0, deff=0.5, iters=100)
+        m.write()
+        data = json.loads((tmp_path / "run.json").read_text())
+        assert data["meta"]["config"]["n_phase"] == 2
+        assert data["records"][0]["deff"] == 0.5
