@@ -36,7 +36,7 @@ import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 64
 SIZE = 512
 TOL = 1e-6
 POROSITY = 0.65          # fluid fraction (percolating)

@@ -84,14 +84,15 @@ def run_pcg(
         return (x, r, z_new, p, rz_new)
 
     def cond(c):
-        *_, it, deff, deff_old, pc, conv, iters = c
+        pc = c[8]
+        it = c[5]
         alive = tol_ < jnp.abs(pc)
         if batched:
             return reduce_any_fn(alive) & (it < max_iter)
         return (it < max_iter) & alive
 
     def body(c):
-        x, r, z, p, rz, it, deff, deff_old, pc, conv, iters = c
+        x, r, z, p, rz, it, deff, deff_old, pc, conv, iters, x_best, best = c
         active = (tol_ < jnp.abs(pc)) if batched else None
         k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
         x, r, z, p, rz = jax.lax.fori_loop(
@@ -110,26 +111,48 @@ def run_pcg(
         p = jnp.where(refresh, z_true, p)
         rz = jnp.where((do_check & active) if batched else do_check, rz_true, rz)
 
+        # Stagnation/divergence safety net: low-precision PCG that keeps
+        # running below its rounding floor eventually blows up (tiny noisy
+        # rz -> exploding beta).  Track the best-true-residual iterate; when
+        # the current residual is non-finite or has grown far beyond the
+        # best seen, stop this image (pc := 0) and fall back to x_best.
+        r_mean = _mean_abs(r_true)
+        improved = (do_check & (r_mean < best)) if not batched else (
+            do_check & active & (r_mean < best))
+        x_best = jnp.where(expand(improved) if batched else improved, x, x_best)
+        best = jnp.where(improved, r_mean, best)
+        diverged = do_check & (~jnp.isfinite(r_mean) | (r_mean > 1e3 * best))
+        if batched:
+            diverged = diverged & active
+
         deff_new = deff_fn(x)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
         else:
-            pc_new = _mean_abs(r_true)
+            pc_new = r_mean
 
         upd = (do_check & active) if batched else do_check
         deff = jnp.where(upd, deff_new, deff)
         if criterion == "deff":
             deff_old = jnp.where(upd, deff_new, deff_old)
         pc = jnp.where(upd, pc_new, pc)
+        pc = jnp.where(diverged, jnp.zeros_like(pc), pc)   # forces stop
         conv = jnp.where(upd, pc_new, conv)
-        return (x, r, z, p, rz, it_new, deff, deff_old, pc, conv, iters)
+        return (x, r, z, p, rz, it_new, deff, deff_old, pc, conv, iters,
+                x_best, best)
 
     r0, z0, rz0 = fresh(x0)
     scal = (lambda v: jnp.full(bshape, v, dtype)) if batched else (lambda v: jnp.asarray(v, dtype))
     it0 = jnp.asarray(0, jnp.int32)
     iters0 = jnp.zeros(bshape, jnp.int32) if batched else it0
     init = (x0, r0, z0, z0, rz0, it0,
-            scal(1.0), scal(5.0), scal(100.0), scal(100.0), iters0)
+            scal(1.0), scal(5.0), scal(100.0), scal(100.0), iters0,
+            x0, _mean_abs(r0))
     out = jax.lax.while_loop(cond, body, init)
-    x, *_, deff, _, _, conv, iters = out
-    return SolveResult(x=x, deff=deff, conv=conv, iters=iters)
+    x, r, z, p, rz, it, deff, deff_old, pc, conv, iters, x_best, best = out
+    # Return the best iterate seen: equals the final x in normal convergence,
+    # and the pre-divergence state when the safety net fired.
+    deff_best = deff_fn(x_best)
+    if criterion != "deff":
+        conv = best
+    return SolveResult(x=x_best, deff=deff_best, conv=conv, iters=iters)
