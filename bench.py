@@ -109,6 +109,16 @@ def main():
     deff = np.asarray(res.deff)
     print(f"deff range: {deff.min():.4f}..{deff.max():.4f}", file=sys.stderr)
 
+    # effective HBM traffic estimate: ~40 fine-plane-equivalents per MGCG
+    # iteration (CG matvec ~8, V(1,1) cycle: 2 smooths ~12, cycle residual ~7,
+    # transfers ~3, coarse levels ~x4/3 on the subtotal)
+    planes_per_iter = 40
+    total_iters = int(np.sum(np.asarray(res.iters)))
+    traffic = total_iters / BATCH * planes_per_iter * SIZE * SIZE * 4 * BATCH
+    print(f"effective traffic ~{traffic / best / 1e9:.0f} GB/s "
+          f"(v5e HBM peak ~819 GB/s; plane-count model stated above)",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "Deff solves/sec (batched 512x512 to 1e-6 residual)",
         "value": round(value, 3),

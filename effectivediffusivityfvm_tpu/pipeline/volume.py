@@ -47,6 +47,7 @@ class VolumeResult:
 
 _SOLVERS = {
     "jacobi": solvers3d.solve_jacobi_3d,
+    "rbsor": solvers3d.solve_rbsor_3d,
     "cg": solvers3d.solve_cg_3d,
     "mgcg": solvers3d.solve_mgcg_3d,
 }

@@ -27,8 +27,9 @@ from .driver import SolveResult
 from .pcg import run_pcg
 
 __all__ = [
-    "solve_jacobi_3d", "solve_cg_3d", "solve_mgcg_3d",
-    "solve_jacobi_3d_batched", "solve_cg_3d_batched", "solve_mgcg_3d_batched",
+    "solve_jacobi_3d", "solve_rbsor_3d", "solve_cg_3d", "solve_mgcg_3d",
+    "solve_jacobi_3d_batched", "solve_rbsor_3d_batched",
+    "solve_cg_3d_batched", "solve_mgcg_3d_batched",
     "coarsen_3d", "build_hierarchy_3d", "v_cycle_3d",
 ]
 
@@ -198,6 +199,58 @@ def solve_jacobi_3d_batched(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
     omega = omega or 2.0 / 3.0
     return driver.run_batched(
         lambda x: fvm3d.jacobi_sweep_3d(coeffs, x, omega),
+        coeffs, None, x0,
+        tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
+        deff_fn=lambda x: boundary_deff_3d(spec, x),
+        resid_fn=lambda x: fvm3d.residual_3d(coeffs, x),
+    )
+
+
+def _rb_sweep_3d(coeffs, x, omega):
+    """Red-black SOR sweep on the voxel grid ((i+j+k) parity coloring)."""
+    nz, ny, nx = x.shape[-3:]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx), 2)
+    red = ((kk + ii + jj) % 2) == 0
+
+    def half(xc, m):
+        gs = (coeffs.b + fvm3d.neighbor_sum_3d(coeffs, xc)) * coeffs.diag_inv
+        return jnp.where(m, xc + omega * (gs - xc), xc)
+
+    return half(half(x, red), ~red)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
+)
+def solve_rbsor_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-5,
+                   max_iter: int = 500_000, check_every: int = 10_000,
+                   criterion: str = "deff") -> SolveResult:
+    from .rbsor import omega_opt
+
+    omega = omega or omega_opt(max(x0.shape[-3:]), max(x0.shape[-3:]))
+    return driver.run_single(
+        lambda x: _rb_sweep_3d(coeffs, x, omega),
+        coeffs, None, x0,
+        tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
+        deff_fn=lambda x: boundary_deff_3d(spec, x),
+        resid_fn=lambda x: fvm3d.residual_3d(coeffs, x),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
+)
+def solve_rbsor_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
+                           tol: float = 1e-5, max_iter: int = 500_000,
+                           check_every: int = 10_000,
+                           criterion: str = "deff") -> SolveResult:
+    from .rbsor import omega_opt
+
+    omega = omega or omega_opt(max(x0.shape[-3:]), max(x0.shape[-3:]))
+    return driver.run_batched(
+        lambda x: _rb_sweep_3d(coeffs, x, omega),
         coeffs, None, x0,
         tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
         deff_fn=lambda x: boundary_deff_3d(spec, x),

@@ -191,3 +191,14 @@ class TestGalerkin3D:
             A = to_sparse_3d(lvl).toarray()
             np.testing.assert_allclose(A, A.T, rtol=1e-10, atol=1e-12)
             assert np.linalg.eigvalsh(A).min() > 0
+
+
+class TestRBSOR3D:
+    def test_agrees_with_cg(self, rng):
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import solve_rbsor_3d
+
+        c, spec, x0, _ = problem(rng, contrast=10.0)
+        sor = solve_rbsor_3d(c, spec, x0, tol=1e-10, max_iter=200_000,
+                             check_every=500, criterion="residual")
+        cg = solve_cg_3d(c, spec, x0, tol=1e-10, max_iter=50_000, check_every=50)
+        np.testing.assert_allclose(float(sor.deff), float(cg.deff), rtol=1e-7)

@@ -199,3 +199,63 @@ class TestSolveVsDirect:
         x = rng.random((8, 8))
         expect = np.mean(np.abs(b_ref - A_ref @ x.ravel()))
         np.testing.assert_allclose(float(fvm.residual(c, jnp.asarray(x))), expect, rtol=1e-12)
+
+
+class TestFluxAverage:
+    def test_equals_boundary_on_converged_field(self, rng):
+        from effectivediffusivityfvm_tpu.ops.flux import (
+            boundary_deff,
+            deff_flux_average,
+            make_flux_spec,
+        )
+
+        d = random_d(rng, 16, 16, contrast=100.0)
+        dj = jnp.asarray(d)
+        c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+        A_ref, b_ref = dense_assembly(d, 0.0, 1.0)
+        x = spla.spsolve(A_ref.tocsc(), b_ref).reshape(16, 16)
+        spec = make_flux_spec(dj, 0.0, 1.0)
+        d_b = float(boundary_deff(spec, jnp.asarray(x)))
+        d_avg = float(deff_flux_average(dj, jnp.asarray(x), 0.0, 1.0))
+        np.testing.assert_allclose(d_avg, d_b, rtol=1e-10)
+
+    def test_suppresses_pointwise_noise(self, rng):
+        # The averaged flux suppresses *uncorrelated* per-cell noise (e.g.
+        # fp32 rounding of a converged field) by ~sqrt(nx); it does NOT help
+        # with smooth unconverged-transient error, which biases all cuts
+        # alike — that is the solver's job.
+        from effectivediffusivityfvm_tpu.ops.flux import (
+            boundary_deff,
+            deff_flux_average,
+            make_flux_spec,
+        )
+
+        n = 64
+        d = random_d(rng, n, n, contrast=100.0)
+        dj = jnp.asarray(d)
+        c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+        spec = make_flux_spec(dj, 0.0, 1.0)
+        A_ref, b_ref = dense_assembly(d, 0.0, 1.0)
+        x = spla.spsolve(A_ref.tocsc(), b_ref).reshape(n, n)
+        d_true = float(boundary_deff(spec, jnp.asarray(x)))
+
+        errs_b, errs_avg = [], []
+        for seed in range(5):
+            noise = np.random.default_rng(seed).standard_normal((n, n)) * 1e-6
+            xn = jnp.asarray(x + noise)
+            errs_b.append(abs(float(boundary_deff(spec, xn)) - d_true))
+            errs_avg.append(abs(float(deff_flux_average(dj, xn, 0.0, 1.0)) - d_true))
+        assert np.mean(errs_avg) < np.mean(errs_b)
+
+
+class TestDebugUtils:
+    def test_check_finite(self):
+        from effectivediffusivityfvm_tpu.utils.debug import check_finite, nan_guard
+
+        check_finite({"a": jnp.ones(3)})
+        with pytest.raises(FloatingPointError):
+            check_finite(jnp.asarray([1.0, float("nan")]), "bad")
+
+        guarded = nan_guard(lambda: jnp.asarray([float("inf")]), "inf-solve")
+        with pytest.raises(FloatingPointError):
+            guarded()
