@@ -31,12 +31,13 @@ timings exist.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "64"))
 SIZE = 512
 TOL = 1e-6
 POROSITY = 0.65          # fluid fraction (percolating)

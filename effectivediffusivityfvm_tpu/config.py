@@ -51,7 +51,7 @@ class SimulationConfig:
                                       #   (jacobi: 2/3, the reference's hardcoded
                                       #    weight Deff2D.cuh:72; rbsor: SOR-optimal
                                       #    for the grid)
-    criterion: str = "deff"           # "deff" (reference semantics) | "residual"
+    criterion: str = "deff"           # "deff" (reference) | "residual" | "relresidual"
     image_dir: str = "."              # directory holding %05d.jpg batch images
     batch_size: int = 0               # 0 = solve the whole batch in one vmap group
     incremental_output: bool = True   # write batch CSV rows as they complete
@@ -71,7 +71,7 @@ class SimulationConfig:
             raise ValueError("MeshAmp has to be an integer >= 1")
         if self.solver not in ("jacobi", "rbsor", "cg", "mgcg", "jacobi_pallas"):
             raise ValueError(f"unknown solver {self.solver!r}")
-        if self.criterion not in ("deff", "residual"):
+        if self.criterion not in ("deff", "residual", "relresidual"):
             raise ValueError(f"unknown criterion {self.criterion!r}")
 
 

@@ -32,7 +32,7 @@ from ..solvers import driver
 from ..solvers.driver import SolveResult
 from ..solvers.pcg import run_pcg
 
-__all__ = ["sharded_solve_jacobi_3d", "sharded_solve_cg_3d"]
+__all__ = ["sharded_solve_jacobi_3d", "sharded_solve_cg_3d", "sharded_solve_mgcg_3d"]
 
 
 def _halo_slabs(x, axis_name):
@@ -195,6 +195,205 @@ def sharded_solve_cg_3d(
             tol=tol, max_iter=max_iter, check_every=check_every,
             criterion=criterion, grid_ndim=3, batched=batched,
             reduce_any_fn=reduce_any, mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
+        )
+
+    return jax.jit(run)(coeffs, spec, x0)
+
+
+# ---------------------------------------------------------------------------
+# Sharded multigrid
+# ---------------------------------------------------------------------------
+
+def _coarsen_local(c_l: StencilCoeffs3D, axis_name: str) -> StencilCoeffs3D:
+    """Shard-local 2x2x2 Galerkin coarsening of a z-slab-sharded operator.
+
+    Identical math to ``solvers3d.coarsen_3d`` except at the shard's z
+    edges: the crossing coupling into the NEXT shard lives in the local
+    ``a_d`` of the last fine plane (so the odd-index block sum already
+    yields the correct coarse ``a_d`` there — it must NOT be zeroed), and
+    the mirrored ``a_u`` of the first coarse plane comes from the PREVIOUS
+    shard's last coarse ``a_d`` via ppermute.  Requires even local nz.
+    """
+    from ..solvers.solvers3d import _blocks3, restrict_3d
+
+    ae_b = _blocks3(c_l.a_e)
+    as_b = _blocks3(c_l.a_s)
+    ad_b = _blocks3(c_l.a_d)
+
+    a_e_c = ae_b[..., :, :, :, :, :, 1].sum(axis=(-4, -2))
+    a_s_c = as_b[..., :, :, :, 1, :, :].sum(axis=(-4, -1))
+    a_d_c = ad_b[..., :, 1, :, :, :, :].sum(axis=(-3, -1))
+
+    internal = (
+        ae_b[..., :, :, :, :, :, 0].sum(axis=(-4, -2))
+        + as_b[..., :, :, :, 0, :, :].sum(axis=(-4, -1))
+        + ad_b[..., :, 0, :, :, :, :].sum(axis=(-3, -1))
+    )
+    diag_c = restrict_3d(c_l.diag) - 2.0 * internal
+    b_c = restrict_3d(c_l.b)
+
+    # x/y mirrors are local exactly as in the unsharded case
+    zx = jnp.zeros_like(a_e_c[..., :, :, :1])
+    zy = jnp.zeros_like(a_s_c[..., :, :1, :])
+    a_e_c = jnp.concatenate([a_e_c[..., :, :, :-1], zx], axis=-1)
+    a_w_c = jnp.concatenate([zx, a_e_c[..., :, :, :-1]], axis=-1)
+    a_s_c = jnp.concatenate([a_s_c[..., :, :-1, :], zy], axis=-2)
+    a_n_c = jnp.concatenate([zy, a_s_c[..., :, :-1, :]], axis=-2)
+
+    # z mirror crosses shards: my first a_u = previous shard's last a_d.
+    # (The global last shard's a_d last plane is already 0 because the fine
+    # a_d is 0 on the global z edge.)
+    n = jax.lax.axis_size(axis_name)
+    last_ad = a_d_c[..., -1:, :, :]
+    if n > 1:
+        halo = jax.lax.ppermute(last_ad, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    else:
+        halo = jnp.zeros_like(last_ad)
+    a_u_c = jnp.concatenate([halo, a_d_c[..., :-1, :, :]], axis=-3)
+
+    floor = jnp.asarray(1e-6, diag_c.dtype) * restrict_3d(c_l.diag)
+    ok = diag_c > floor
+    diag_inv = jnp.where(ok, 1.0 / jnp.where(ok, diag_c, 1.0), 0.0)
+    return StencilCoeffs3D(a_w_c, a_e_c, a_n_c, a_s_c, a_u_c, a_d_c,
+                           diag_c, diag_inv, b_c)
+
+
+def _smooth_local(c_l, x, b, omega, axis_name):
+    num = b + _neighbor_sum_local(c_l, x, axis_name)
+    return (1.0 - omega) * x + omega * num * c_l.diag_inv
+
+
+def _build_sharded_hierarchy(c_l: StencilCoeffs3D, nz_local: int,
+                             axis_name: str, min_size: int = 4):
+    """(sharded_levels, replicated_levels): coarsen shard-locally while the
+    local slab stays even and >= 2 planes thick, then all_gather and hand
+    the replicated coarse problem to the plain hierarchy builder."""
+    from ..solvers.solvers3d import build_hierarchy_3d
+
+    sharded = [c_l]
+    while nz_local % 2 == 0 and nz_local >= 4:
+        c_l = _coarsen_local(c_l, axis_name)
+        nz_local //= 2
+        sharded.append(c_l)
+
+    gathered = jax.tree.map(
+        lambda a: jax.lax.all_gather(a, axis_name, axis=a.ndim - 3, tiled=True),
+        sharded[-1])
+    replicated = build_hierarchy_3d(gathered, min_size=min_size)
+    return sharded[:-1], replicated
+
+
+def _v_cycle_sharded(sharded_levels, replicated_levels, r, *, nu1=1, nu2=1,
+                     omega=0.8, coarse_iters=32, over=1.8,
+                     axis_name="sp", level=0):
+    """V-cycle over the sharded prefix of the hierarchy; the coarse suffix
+    runs replicated on every shard (identical inputs -> identical results)."""
+    from ..solvers import solvers3d as s3
+
+    if level == len(sharded_levels):
+        # hand off to the replicated tail: gather the residual, run the
+        # plain (unsharded) cycle, slice back this shard's slab
+        n = jax.lax.axis_size(axis_name)
+        r_full = jax.lax.all_gather(r, axis_name, axis=r.ndim - 3, tiled=True)
+        e_full = s3.v_cycle_3d(replicated_levels, r_full, nu1=nu1, nu2=nu2,
+                               omega=omega, coarse_iters=coarse_iters, over=over)
+        idx = jax.lax.axis_index(axis_name)
+        nz_local = r.shape[-3]
+        return jax.lax.dynamic_slice_in_dim(
+            e_full, idx * nz_local, nz_local, axis=e_full.ndim - 3)
+
+    c = sharded_levels[level]
+    e = jnp.zeros_like(r)
+    for _ in range(nu1):
+        e = _smooth_local(c, e, r, omega, axis_name)
+    res = r - (c.diag * e - _neighbor_sum_local(c, e, axis_name))
+    from ..solvers.solvers3d import restrict_3d
+    r_c = restrict_3d(res)
+    e_c = _v_cycle_sharded(sharded_levels, replicated_levels, r_c,
+                           nu1=nu1, nu2=nu2, omega=omega,
+                           coarse_iters=coarse_iters, over=over,
+                           axis_name=axis_name, level=level + 1)
+    from ..solvers.solvers3d import prolong_3d
+    e = e + over * prolong_3d(e_c)
+    for _ in range(nu2):
+        e = _smooth_local(c, e, r, omega, axis_name)
+    return e
+
+
+def sharded_solve_mgcg_3d(
+    coeffs: StencilCoeffs3D,
+    spec: FluxSpec3D,
+    x0: jax.Array,
+    mesh: Mesh,
+    *,
+    omega: float = 0.0,
+    tol: float = 1e-8,
+    max_iter: int = 10_000,
+    check_every: int = 10_000,
+    criterion: str = "residual",
+    nu1: int = 1,
+    nu2: int = 1,
+    mg_omega: float = 0.8,
+    coarse_iters: int = 32,
+    min_size: int = 4,
+    over: float = 1.8,
+    spatial_axis: str = "sp",
+    batch_axis: str = "dp",
+) -> SolveResult:
+    """Multigrid-PCG over z-slabs: shard-local Galerkin coarsening while the
+    slab stays >= 2 planes, then a replicated coarse tail (all_gather of a
+    small grid); halo-exchanged smoothing/matvec, psum'd CG reductions.
+
+    Equals the unsharded ``solve_mgcg_3d`` exactly: the distributed coarse
+    operators are the same Galerkin products (the shard-boundary couplings
+    are carried by the local a_d planes + one ppermute per level), so every
+    iterate matches to rounding.
+    """
+    batched = x0.ndim == 4
+    if batched:
+        raise NotImplementedError(
+            "sharded 3D MGCG currently supports single volumes; use the dp "
+            "axis with sharded_solve_cg_3d for batched voxel stacks")
+    check_every = min(check_every, 10)
+    coeffs_specs, spec_specs, grid_spec, out_specs = _specs(
+        False, spatial_axis, batch_axis)
+    n_shards = mesh.shape[spatial_axis]
+    nz_local = x0.shape[-3] // n_shards
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(coeffs_specs, spec_specs, grid_spec),
+        out_specs=out_specs, check_vma=False,
+    )
+    def run(c_l, s_l, x0_l):
+        sharded_levels, replicated_levels = _build_sharded_hierarchy(
+            c_l, nz_local, spatial_axis, min_size=min_size)
+
+        def precond(r):
+            return _v_cycle_sharded(
+                sharded_levels, replicated_levels, r, nu1=nu1, nu2=nu2,
+                omega=mg_omega, coarse_iters=coarse_iters, over=over,
+                axis_name=spatial_axis)
+
+        def matvec(p):
+            return c_l.diag * p - _neighbor_sum_local(c_l, p, spatial_axis)
+
+        def dot_fn(u, v):
+            return jax.lax.psum(jnp.sum(u * v, axis=(-3, -2, -1)), spatial_axis)
+
+        def mean_abs_fn(u):
+            s = jax.lax.psum(jnp.sum(jnp.abs(u), axis=(-3, -2, -1)), spatial_axis)
+            nn = (u.shape[-3] * u.shape[-2] * u.shape[-1]
+                  * jax.lax.axis_size(spatial_axis))
+            return s / nn
+
+        return run_pcg(
+            matvec=matvec, precond=precond, b=c_l.b, x0=x0_l,
+            deff_fn=lambda x: _deff_local(s_l, x, spatial_axis),
+            tol=tol, max_iter=max_iter, check_every=check_every,
+            criterion=criterion, grid_ndim=3, batched=False,
+            mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
 
     return jax.jit(run)(coeffs, spec, x0)

@@ -125,12 +125,14 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
     x = jnp.broadcast_to(
         _linear_init(ny, nx, cfg.c_left, cfg.c_right, dtype), (bsz, ny, nx)
     )
+    stage_max_iter = (1_000_000 if cfg.solver in ("jacobi", "rbsor", "jacobi_pallas")
+                      else cfg.max_iter)
     for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
         res = solve_batched(
             cfg.solver, coeffs, spec, x,
-            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=1_000_000,
+            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=stage_max_iter,
             check_every=cfg.check_every, criterion=cfg.criterion,
         )
         x = res.x

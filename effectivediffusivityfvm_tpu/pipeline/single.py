@@ -202,12 +202,16 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
 
     # Homotopy pre-stages: tol x10, MAX_ITER=1e6 (Deff2D.cuh:1501-1502);
     # results deliberately not recorded (JacobiGPUPreCond semantics).
+    # The 1e6 cap is a Jacobi-era constant; Krylov solvers converge in tens
+    # of iterations, so they keep the user's own cap (a Krylov stage that
+    # actually ran 1e6 iterations would mean an unreachable tolerance).
+    stage_max_iter = 1_000_000 if cfg.solver in ("jacobi", "rbsor", "jacobi_pallas") else cfg.max_iter
     for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
         res = solve_dispatch(
             cfg.solver, coeffs, spec, x,
-            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=1_000_000,
+            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=stage_max_iter,
             check_every=cfg.check_every, criterion=cfg.criterion,
         )
         x = res.x

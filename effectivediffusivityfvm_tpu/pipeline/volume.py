@@ -132,10 +132,11 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
         spec = fvm3d.make_flux_spec_3d(d_field, cfg.c_left, cfg.c_right)
         return coeffs, spec
 
+    stage_max_iter = 1_000_000 if cfg.solver in ("jacobi", "rbsor") else cfg.max_iter
     for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
-        res = _solve3d(cfg, coeffs, spec, x, cfg.convergence * 10, 1_000_000)
+        res = _solve3d(cfg, coeffs, spec, x, cfg.convergence * 10, stage_max_iter)
         x = res.x
 
     coeffs, spec = build(cfg.d_gas)

@@ -18,7 +18,9 @@ check-aligned chunk of sweeps in a ``fori_loop`` and evaluates the on-device
 Deff (or residual) monitor once — no host synchronization anywhere.
 
 ``criterion="residual"`` swaps the monitor for the mean absolute flux
-imbalance (the reference's principled-but-dead Residual, Deff2D.cuh:451-494).
+imbalance (the reference's principled-but-dead Residual, Deff2D.cuh:451-494);
+``criterion="relresidual"`` divides it by ``mean(|b|)`` for a scale-free
+tolerance.
 
 The batched driver advances a whole (B, ny, nx) stack in fused sweeps with
 per-image freezing: once an image meets the criterion its field stops
@@ -68,6 +70,7 @@ def run_single(
     resid_fn = resid_fn or (lambda x: fvm.residual(coeffs, x))
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
+    bscale = jnp.mean(jnp.abs(coeffs.b)) if criterion == "relresidual" else None
 
     def cond(c):
         x, it, deff, deff_old, pc, conv = c
@@ -83,6 +86,8 @@ def run_single(
         deff_new = deff_fn(x)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
+        elif criterion == "relresidual":
+            pc_new = resid_fn(x) / bscale
         else:
             pc_new = resid_fn(x)
 
@@ -128,6 +133,9 @@ def run_batched(
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
     bsz = x0.shape[0]
+    grid_axes = tuple(range(1, x0.ndim))
+    bscale = (jnp.mean(jnp.abs(coeffs.b), axis=grid_axes)
+              if criterion == "relresidual" else None)
 
     def active_of(pc, it):
         return (tol_ < jnp.abs(pc)) & (it < max_iter)
@@ -154,6 +162,8 @@ def run_batched(
         deff_new = deff_fn(x)                    # (B,)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
+        elif criterion == "relresidual":
+            pc_new = resid_fn(x) / bscale
         else:
             pc_new = resid_fn(x)
 

@@ -13,7 +13,10 @@ checks at iteration indices 0, N, 2N, ...; ``criterion="residual"`` stops on
 ``mean(|r_true|) < tol`` with the true residual recomputed (and the
 recurrence restarted on it) at every check, killing fp32 drift;
 ``criterion="deff"`` applies the reference's percent-change rule
-(Deff2D.cuh:1265).  Batched mode freezes converged images.
+(Deff2D.cuh:1265); ``criterion="relresidual"`` divides the mean residual by
+``mean(|b|)``, making the tolerance scale-free (absolute tolerances are
+unreachable in fp32 when the coefficients are O(1e6), e.g. the shipped
+input.txt's Dg=1,237,500).  Batched mode freezes converged images.
 """
 
 from __future__ import annotations
@@ -59,6 +62,8 @@ def run_pcg(
 
     def expand(v):
         return v.reshape(v.shape + (1,) * grid_ndim) if batched else v
+
+    bscale = _mean_abs(b) if criterion == "relresidual" else None
 
     def fresh(x):
         r = b - matvec(x)
@@ -128,6 +133,8 @@ def run_pcg(
         deff_new = deff_fn(x)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
+        elif criterion == "relresidual":
+            pc_new = r_mean / bscale
         else:
             pc_new = r_mean
 

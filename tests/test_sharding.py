@@ -123,3 +123,23 @@ class TestSharded3D:
         got = sharded_solve_cg_3d(coeffs, spec, x0, mesh, **kw)
         np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
                                    rtol=1e-9)
+
+    def test_sharded_mgcg_equals_unsharded(self, rng):
+        from effectivediffusivityfvm_tpu.ops import fvm3d
+        from effectivediffusivityfvm_tpu.parallel.halo3d import sharded_solve_mgcg_3d
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import solve_mgcg_3d
+
+        nz, ny, nx = 32, 16, 16
+        d = np.exp(rng.uniform(0, np.log(1e3), (nz, ny, nx)))
+        dj = jnp.asarray(d)
+        c = fvm3d.fvm_coefficients_3d(dj, 0.0, 1.0)
+        spec = fvm3d.make_flux_spec_3d(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (nz, ny, nx))
+        mesh = make_mesh(8, dp=1)
+        kw = dict(tol=1e-9, max_iter=2000, check_every=10)
+        ref = solve_mgcg_3d(c, spec, x0, **kw)
+        got = sharded_solve_mgcg_3d(c, spec, x0, mesh, **kw)
+        assert int(got.iters) == int(ref.iters)
+        np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-7, atol=1e-10)

@@ -99,3 +99,33 @@ def test_warm_start_reduces_iterations(rng):
     cold = solve_jacobi(coeffs, spec, x0, **kw)
     warm = solve_jacobi(coeffs, spec, cold.x, **kw)
     assert int(warm.iters) < int(cold.iters)
+
+
+def test_relresidual_criterion_scale_free(rng):
+    """relresidual must stop at the same iterate regardless of the global
+    coefficient scale (absolute residual is scale-dependent)."""
+    from effectivediffusivityfvm_tpu.solvers.cg import solve_cg
+
+    d = np.exp(rng.uniform(0, np.log(100), (16, 16)))
+    for scale in (1.0, 1e6):
+        dj = jnp.asarray(d * scale)
+        c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+        spec = make_flux_spec(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(16, dtype=jnp.float64) / 16, (16, 16))
+        res = solve_cg(c, spec, x0, tol=1e-9, max_iter=50_000,
+                       check_every=50, criterion="relresidual")
+        if scale == 1.0:
+            iters_ref, x_ref = int(res.iters), np.asarray(res.x)
+        else:
+            # identical spectra -> identical iteration counts and fields
+            assert int(res.iters) == iters_ref
+            np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-9)
+
+
+def test_relresidual_in_sweep_driver(rng):
+    coeffs, spec, x0 = make_problem(rng)
+    res = solve_jacobi(coeffs, spec, x0, tol=1e-8, max_iter=500_000,
+                       check_every=200, criterion="relresidual")
+    from effectivediffusivityfvm_tpu.ops import fvm as _fvm
+    rel = float(_fvm.residual(coeffs, res.x)) / float(jnp.mean(jnp.abs(coeffs.b)))
+    assert rel <= 1e-8
