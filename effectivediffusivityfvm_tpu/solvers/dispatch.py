@@ -27,6 +27,12 @@ def _lookup(name: str, batched: bool):
     if name == "mgcg":
         from .multigrid import solve_mgcg, solve_mgcg_batched
         return solve_mgcg_batched if batched else solve_mgcg
+    if name == "cgir":
+        from .refine import solve_cgir
+        if batched:
+            raise NotImplementedError("cgir is single-image (round-1); "
+                                      "batch via a Python loop")
+        return solve_cgir
     if name == "jacobi_pallas":
         from .jacobi_pallas import solve_jacobi_pallas, solve_jacobi_pallas_batched
         return solve_jacobi_pallas_batched if batched else solve_jacobi_pallas

@@ -110,3 +110,37 @@ class TestRBSOR:
         w = omega_opt(512, 512)
         assert 1.9 < w < 2.0
         assert 1.0 < omega_opt(8, 8) < 2.0
+
+
+class TestIterativeRefinement:
+    def test_cgir_matches_direct_high_contrast(self, rng):
+        """f64-accuracy answers with the hot loop in f32 (solver 'cgir')."""
+        from effectivediffusivityfvm_tpu.solvers.refine import solve_cgir
+
+        c, spec, x0, _ = problem(rng, ny=32, nx=32, contrast=1e6)
+        res = solve_cgir(c, spec, x0, tol=1e-10, max_iter=8,
+                         inner_iters=20_000, inner_tol=1e-6)
+        assert float(res.conv) <= 1e-10          # true f64 relative residual
+        assert int(res.iters) <= 8
+        # pointwise x agreement is kappa-limited (~kappa * relres); the flux
+        # functional and the residual are the meaningful invariants
+        xd = spla.spsolve(to_sparse(c), np.asarray(c.b).ravel()).reshape(32, 32)
+        deff_direct = float(boundary_deff(spec, jnp.asarray(xd)))
+        np.testing.assert_allclose(float(res.deff), deff_direct, rtol=1e-6)
+        r = np.asarray(c.b).ravel() - to_sparse(c) @ np.asarray(res.x).ravel()
+        assert np.mean(np.abs(r)) / np.mean(np.abs(np.asarray(c.b))) <= 2e-10
+
+    def test_equilibrate_preserves_solution(self, rng):
+        from effectivediffusivityfvm_tpu.ops.fvm import equilibrate
+
+        c, _, _, _ = problem(rng, ny=12, nx=14, contrast=1e6)
+        cs, s = equilibrate(c)
+        np.testing.assert_allclose(np.asarray(cs.diag), 1.0, rtol=1e-12)
+        # A' = S A S  and  b' = S b: solving A' y = b' gives x = S y
+        A = to_sparse(c).toarray()
+        S = np.diag(np.asarray(s).ravel())
+        np.testing.assert_allclose(to_sparse(cs).toarray(), S @ A @ S,
+                                   rtol=1e-10, atol=1e-12)
+        y = np.linalg.solve(S @ A @ S, np.asarray(cs.b).ravel())
+        x = np.linalg.solve(A, np.asarray(c.b).ravel())
+        np.testing.assert_allclose(np.asarray(s).ravel() * y, x, rtol=1e-8)
