@@ -1,0 +1,269 @@
+"""Component-deflated PCG for extreme-contrast multiphase systems.
+
+The 00042.jpg case study (docs/PERFORMANCE.md) shows why plain Krylov
+methods die on the reference's own demo config: with Dg ~ 1e6, every
+connected gas component behaves as a near-equipotential super-node, so the
+operator has one near-kernel vector per component and κ ~ contrast × n².
+Homotopy (the reference's answer) merely walks the contrast up slowly.
+
+The structural fix is a two-level preconditioner whose coarse space is
+exactly those components:
+
+  W   = indicator vectors of the connected high-D components
+        (disjoint supports -> W^T v is a segment-sum, W y is a gather)
+  E   = W^T A W — the Galerkin coarse matrix, assembled in closed form from
+        the face conductances crossing between components (same trick as the
+        multigrid coarsening, but over arbitrary flood-fill components)
+  and deflated PCG in projection form (Tang & Vuik):
+      Q = W E^-1 W^T,   P v = v - A Q v
+      iterate CG on  P A  with diagonal preconditioning; recover
+      x = Q b + (I - Q A) x_hat.
+  (The simpler additive-Schwarz form M^-1 = diag^-1 + Q loses conjugacy on
+  large instances — measured stalling on the full 00042.jpg while the
+  projection form converges; see git history.)
+
+Component labeling reuses the connectivity infrastructure (scipy label over
+the gas mask, periodic-Y like the flood fill); E is small and dense
+(#components squared), Cholesky-factored once, applied per iteration with
+two triangular solves — O(m^2) next to the O(N) matvec.
+
+Registered as solver ``dcg`` (2-phase systems have no gas phase; it falls
+back to plain diagonal PCG when no components are found).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fvm
+from ..ops.flux import BoundaryFluxSpec, boundary_deff
+from .driver import SolveResult
+from .pcg import run_pcg
+
+__all__ = ["DeflationSpace", "build_component_deflation", "solve_dcg"]
+
+
+class DeflationSpace(NamedTuple):
+    labels: jax.Array     # (ny, nx) int32; -1 = not in any component
+    e_inv: jax.Array      # (m, m) dense inverse of E (small SPD coarse matrix;
+                          #   a matmul apply — TPU triangular-solve kernels
+                          #   fault on this platform)
+    m: int                # number of components (static)
+
+
+def label_components(member: np.ndarray, periodic_y: bool = True) -> np.ndarray:
+    """Connected 4-components of a boolean mask, periodic in Y (matching the
+    flood-fill convention, Deff2D.cuh:640-671).  Returns int labels, -1
+    outside, 0..m-1 inside (canonical)."""
+    from scipy import ndimage
+
+    structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
+    lbl, num = ndimage.label(member, structure=structure)
+    if num and periodic_y:
+        parent = np.arange(num + 1)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        top, bot = lbl[0, :], lbl[-1, :]
+        both = (top > 0) & (bot > 0)
+        for a, b in zip(top[both], bot[both]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(int(i)) for i in range(num + 1)])
+        # compact to 0..m-1
+        uniq = np.unique(roots[1:]) if num else np.array([], int)
+        remap = np.full(num + 1, 0)
+        remap[uniq] = np.arange(1, len(uniq) + 1)
+        lbl = remap[roots[lbl]]
+    return lbl.astype(np.int64) - 1
+
+
+def build_component_deflation(coeffs: fvm.StencilCoeffs,
+                              member: np.ndarray,
+                              periodic_y: bool = False,
+                              jitter: float = 1e-12) -> Optional[DeflationSpace]:
+    """Assemble the coarse space over the connected components of ``member``
+    (typically the gas phase).  Host-side O(N) preprocessing; returns None
+    when there are no components.
+
+    ``periodic_y`` defaults to False: the coarse space must follow the
+    OPERATOR's topology (no-flux y boundaries), not the flood fill's
+    periodic convention — wrap-merged components are two independent
+    equipotentials, and treating them as one both weakens the space and can
+    make E singular.  Components with (numerically) zero external
+    conductance — equipotential islands whose value cannot affect any flux —
+    are dropped from the space for the same reason.
+    """
+    labels = label_components(np.asarray(member, bool), periodic_y)
+    m = int(labels.max()) + 1
+    if m <= 0:
+        return None
+
+    a_e = np.asarray(coeffs.a_e, np.float64)
+    a_s = np.asarray(coeffs.a_s, np.float64)
+    diag = np.asarray(coeffs.diag, np.float64)
+
+    E = np.zeros((m, m))
+    # diagonal: sum of row sums over the component = sum(diag) - 2*internal
+    # built incrementally: start with sum of diagonals
+    sel = labels >= 0
+    np.add.at(E, (labels[sel], labels[sel]), diag[sel])
+
+    # faces: each face (p, q) with conductance a contributes
+    #   E[lp, lq] -= a, E[lq, lp] -= a     if both in (possibly different)
+    #   components; internal faces therefore subtract 2a from the diagonal
+    #   via the two symmetric off-diagonal hits when lp == lq.
+    def add_faces(a_face, lp, lq):
+        ok = (lp >= 0) & (lq >= 0) & (a_face != 0)
+        np.add.at(E, (lp[ok], lq[ok]), -a_face[ok])
+        np.add.at(E, (lq[ok], lp[ok]), -a_face[ok])
+
+    # x faces: between (i, j) and (i, j+1): conductance a_e[i, j]
+    add_faces(a_e[:, :-1], labels[:, :-1], labels[:, 1:])
+    # y faces: between (i, j) and (i+1, j): conductance a_s[i, j]
+    add_faces(a_s[:-1, :], labels[:-1, :], labels[1:, :])
+
+    # Drop decoupled components: the E row sum equals the component's total
+    # external conductance (+ Dirichlet terms); ~zero means an equipotential
+    # island whose value never influences any flux, and whose singular E row
+    # would poison the inverse.
+    row_ext = E.sum(axis=1)
+    keep = row_ext > 1e-10 * max(np.max(np.abs(row_ext)), 1e-300)
+    if not np.any(keep):
+        return None
+    if not np.all(keep):
+        old_to_new = np.full(m, -1)
+        old_to_new[keep] = np.arange(int(keep.sum()))
+        remap = np.concatenate([old_to_new, [-1]])   # labels == -1 stay -1
+        labels = remap[labels]
+        E = E[np.ix_(keep, keep)]
+        m = int(keep.sum())
+
+    E += jitter * np.trace(E) / m * np.eye(m)
+    e_inv = np.linalg.inv(E)
+    return DeflationSpace(
+        labels=jnp.asarray(labels, jnp.int32),
+        e_inv=jnp.asarray(e_inv, coeffs.diag.dtype),
+        m=m,
+    )
+
+
+def _coarse_apply(defl: DeflationSpace, r: jax.Array) -> jax.Array:
+    """W E^-1 W^T r via segment-sum, a dense (m, m) matmul, and a gather."""
+    lab = defl.labels.ravel()
+    safe = jnp.where(lab >= 0, lab, defl.m)          # park non-members
+    rc = jax.ops.segment_sum(r.ravel(), safe, num_segments=defl.m + 1)[:-1]
+    y = defl.e_inv.astype(r.dtype) @ rc
+    yg = jnp.concatenate([y, jnp.zeros((1,), r.dtype)])
+    return yg[safe].reshape(r.shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion", "m"),
+)
+def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
+                   check_every, criterion, m):
+    defl = DeflationSpace(labels=labels, e_inv=e_inv, m=m)
+    dtype = x0.dtype
+    tol_ = jnp.asarray(tol, dtype)
+    check_every = min(check_every, 100)
+
+    def matvec(p):
+        return fvm.apply_operator(coeffs, p)
+
+    def q_apply(v):
+        return _coarse_apply(defl, v)
+
+    def p_apply(v):
+        # P v = v - A Q v
+        return v - matvec(q_apply(v))
+
+    def recover(xh):
+        # x = Q b + (I - Q A) x_hat
+        return q_apply(coeffs.b) + xh - q_apply(matvec(xh))
+
+    def dot(u, v):
+        return jnp.sum(u * v)
+
+    bscale = jnp.mean(jnp.abs(coeffs.b))
+
+    def true_rel(xh):
+        x = recover(xh)
+        return jnp.mean(jnp.abs(coeffs.b - matvec(x))) / bscale
+
+    def cg_iter(s):
+        xh, r, z, p, rz = s
+        q = p_apply(matvec(p))            # P A p
+        pq = dot(p, q)
+        alpha = jnp.where(pq > 0, rz / jnp.where(pq > 0, pq, 1.0), 0.0)
+        xh = xh + alpha * p
+        r = r - alpha * q
+        z = coeffs.diag_inv * r
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (xh, r, z, p, rz_new)
+
+    def fresh(xh):
+        r = p_apply(coeffs.b - matvec(recover(xh)))
+        z = coeffs.diag_inv * r
+        return r, z, dot(r, z)
+
+    def cond(c):
+        xh, r, z, p, rz, it, pc, best, xh_best = c
+        return (it < max_iter) & (tol_ < jnp.abs(pc))
+
+    def body(c):
+        xh, r, z, p, rz, it, pc, best, xh_best = c
+        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        xh, r, z, p, rz = jax.lax.fori_loop(
+            0, k, lambda _, s: cg_iter(s), (xh, r, z, p, rz))
+        it = it + k
+        rel = true_rel(xh)
+        improved = rel < best
+        xh_best = jnp.where(improved, xh, xh_best)
+        best = jnp.where(improved, rel, best)
+        diverged = ~jnp.isfinite(rel) | (rel > 1e3 * best)
+        # restart the recurrence on the true projected residual
+        r_t, z_t, rz_t = fresh(xh)
+        pc = jnp.where(diverged, jnp.zeros_like(rel), rel)
+        return (xh, r_t, z_t, r_t * 0 + z_t, rz_t, it, pc, best, xh_best)
+
+    r0, z0, rz0 = fresh(x0)
+    init = (x0, r0, z0, z0, rz0, jnp.int32(0),
+            jnp.asarray(100.0, dtype), true_rel(x0), x0)
+    xh, _, _, _, _, iters, pc, best, xh_best = jax.lax.while_loop(cond, body, init)
+    x = recover(xh_best)
+    return SolveResult(x=x, deff=boundary_deff(spec, x), conv=best, iters=iters)
+
+
+def solve_dcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
+              max_iter: int = 100_000, check_every: int = 10_000,
+              criterion: str = "relresidual",
+              member: Optional[np.ndarray] = None,
+              defl: Optional[DeflationSpace] = None) -> SolveResult:
+    """Deflated PCG.  Pass either a prebuilt :class:`DeflationSpace` or the
+    boolean ``member`` mask of the high-D phase (host array); with neither,
+    falls back to plain diagonal PCG."""
+    if defl is None and member is not None:
+        defl = build_component_deflation(coeffs, member)
+    if defl is None:
+        from .cg import solve_cg
+
+        return solve_cg(coeffs, spec, x0, tol=tol, max_iter=max_iter,
+                        check_every=check_every, criterion=criterion)
+    return _solve_dcg_jit(coeffs, spec, x0, defl.labels, defl.e_inv,
+                          omega=omega, tol=tol, max_iter=max_iter,
+                          check_every=check_every, criterion=criterion,
+                          m=defl.m)
