@@ -37,7 +37,7 @@ from ..io import writers
 from ..models import floodfill, phases
 from ..ops import fvm
 from ..ops.flux import make_flux_spec
-from ..solvers.dispatch import solve as solve_dispatch
+from ..solvers.dispatch import solve as _dispatch_solve
 from ..utils.logging import vprint
 from ..utils.timing import time_fn
 
@@ -131,7 +131,7 @@ def single_sim(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
         coeffs = fvm.fvm_coefficients(d_field, cfg.c_left, cfg.c_right)
         spec = make_flux_spec(d_field, cfg.c_left, cfg.c_right)
         res, dt = time_fn(
-            solve_dispatch,
+            _dispatch_solve,
             cfg.solver,
             coeffs,
             spec,
@@ -165,6 +165,21 @@ def single_sim(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
     return result
 
 
+def _solve3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
+    """3-phase stage solve: routes 'dcg' (needs the gas-component mask) or
+    the regular dispatch."""
+    if cfg.solver == "dcg":
+        from ..solvers.deflation import solve_dcg
+
+        return solve_dcg(coeffs, spec, x, tol=tol, max_iter=max_iter,
+                         check_every=cfg.check_every, member=gas_np)
+    return _dispatch_solve(
+        cfg.solver, coeffs, spec, x,
+        omega=cfg.omega, tol=tol, max_iter=max_iter,
+        check_every=cfg.check_every, criterion=cfg.criterion,
+    )
+
+
 def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
                       write_output: bool = True) -> SingleResult:
     """3-phase single-image pipeline (reference SingleSim3Phase,
@@ -183,6 +198,8 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
     mask_np = phases.amplify(
         (img > 200) | ff.isolated, cfg.mesh_amp_y, cfg.mesh_amp_x
     )
+    # gas-component coarse space for the deflated solver (host preprocessing)
+    gas_np = (classes == phases.GAS) & ~mask_np if cfg.solver == "dcg" else None
     ny, nx = classes.shape
     dtype = cfg.np_dtype
     mask = jnp.asarray(mask_np)
@@ -194,9 +211,11 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
         d_field = jnp.asarray(
             phases.d_field_from_classes(classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype)
         )
-        # CG needs the SPD (symmetrized) masked assembly; identical solution
-        coeffs = fvm.fvm_coefficients(d_field, cfg.c_left, cfg.c_right, mask=mask,
-                                      symmetric=(cfg.solver == "cg"))
+        # Krylov solvers need the SPD (symmetrized) masked assembly;
+        # identical solution
+        coeffs = fvm.fvm_coefficients(
+            d_field, cfg.c_left, cfg.c_right, mask=mask,
+            symmetric=(cfg.solver in ("cg", "mgcg", "cgir", "dcg")))
         spec = make_flux_spec(d_field, cfg.c_left, cfg.c_right)
         return coeffs, spec
 
@@ -209,22 +228,15 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
     for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
-        res = solve_dispatch(
-            cfg.solver, coeffs, spec, x,
-            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=stage_max_iter,
-            check_every=cfg.check_every, criterion=cfg.criterion,
-        )
+        res = _solve3p(cfg, coeffs, spec, x, cfg.convergence * 10,
+                       stage_max_iter, gas_np)
         x = res.x
         vprint(cfg.verbose, f"Iterations taken = {int(res.iters)}")
 
     # Final solve at the true DCG with original settings.
     coeffs, spec = build(cfg.d_gas)
     res, time_s = time_fn(
-        solve_dispatch,
-        cfg.solver, coeffs, spec, x,
-        omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
-        check_every=cfg.check_every, criterion=cfg.criterion,
-    )
+        _solve3p, cfg, coeffs, spec, x, cfg.convergence, cfg.max_iter, gas_np)
     x_np = np.asarray(res.x)
     deff = float(res.deff) / cfg.d_fluid   # Deff2D.cuh:1601
     vprint(cfg.verbose, f"Iterations taken = {int(res.iters)}")

@@ -150,7 +150,14 @@ def build_component_deflation(coeffs: fvm.StencilCoeffs,
         m = int(keep.sum())
 
     E += jitter * np.trace(E) / m * np.eye(m)
-    e_inv = np.linalg.inv(E)
+    # Invert in Jacobi-scaled form: component conductances span many decades
+    # (kappa(E) ~ 1e9 on the bundled 00042.jpg), and inverting the raw E
+    # loses ~log10(kappa) digits that then poison every projection.
+    # E = D^1/2 Ehat D^1/2  ->  E^-1 = D^-1/2 Ehat^-1 D^-1/2 with Ehat
+    # having unit diagonal.
+    dhalf = np.sqrt(np.diag(E))
+    e_hat = E / dhalf[:, None] / dhalf[None, :]
+    e_inv = np.linalg.inv(e_hat) / dhalf[:, None] / dhalf[None, :]
     return DeflationSpace(
         labels=jnp.asarray(labels, jnp.int32),
         e_inv=jnp.asarray(e_inv, coeffs.diag.dtype),

@@ -179,3 +179,18 @@ class TestSingle3Phase:
         np.testing.assert_allclose(res.deff, expected, rtol=1e-5)
         assert res.svf == pytest.approx(0.25)
         assert res.lvf == pytest.approx(0.5)
+
+
+class TestDCGPipeline:
+    def test_three_phase_with_deflated_solver(self):
+        from effectivediffusivityfvm_tpu.io.images import three_phase_parallel_slab
+
+        img = three_phase_parallel_slab(40, svf=0.25, lvf=0.5)
+        cfg = SimulationConfig(
+            n_phase=3, d_fluid=1.0, d_solid=0.0, d_gas=200.0,
+            convergence=1e-8, max_iter=50_000, check_every=100,
+            dtype="float64", criterion="relresidual", solver="dcg",
+        )
+        res = single_sim_3phase(cfg, img=img, write_output=False)
+        expected = 0.5 * 1.0 + 0.25 * 200.0
+        np.testing.assert_allclose(res.deff, expected, rtol=1e-5)
