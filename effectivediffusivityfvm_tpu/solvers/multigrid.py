@@ -23,6 +23,11 @@ Construction (all closed-form array ops, TPU-friendly):
   * Smoother: damped Jacobi (omega=0.8), symmetric pre+post -> the V(1,1)
     cycle is an SPD operator, hence a valid PCG preconditioner.
   * Coarsest level (<= min_size): a fixed block of damped-Jacobi sweeps.
+    Tuning note for LARGE grids (>= 256^2): min_size=32 / coarse_iters=64
+    is ~24% faster than the defaults at 512^2 (profiled: tiny deep levels
+    cost fixed overhead; the V-cycle measured 5.5 matvec-equivalents with a
+    depth-7 hierarchy).  The defaults keep deep hierarchies because small
+    grids (tests, crops) need them for preconditioning quality.
 
 ``solve_mgcg`` runs PCG with one V-cycle as the preconditioner — robust on
 the contrast-1e6 media where both plain Jacobi and diagonal-PCG crawl — and
