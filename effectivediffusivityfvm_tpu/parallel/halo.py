@@ -35,7 +35,7 @@ from ..ops.flux import BoundaryFluxSpec
 from ..solvers import driver
 from ..solvers.driver import SolveResult
 
-__all__ = ["sharded_solve_jacobi", "halo_exchange_rows"]
+__all__ = ["sharded_solve_jacobi", "sharded_solve_mgcg", "halo_exchange_rows"]
 
 
 def _ring_perms(n: int):
@@ -164,5 +164,194 @@ def sharded_solve_jacobi(
             return driver.run_batched(sweep, coeffs_l, spec_l, x0_l,
                                       reduce_any_fn=reduce_any, **kw)
         return driver.run_single(sweep, coeffs_l, spec_l, x0_l, **kw)
+
+    return jax.jit(run)(coeffs, spec, x0)
+
+
+# ---------------------------------------------------------------------------
+# Sharded multigrid (rows) — the 2D mirror of parallel/halo3d.py
+# ---------------------------------------------------------------------------
+
+def _coarsen_local_2d(c_l: fvm.StencilCoeffs, axis_name: str) -> fvm.StencilCoeffs:
+    """Shard-local 2x2 Galerkin coarsening of a row-sharded operator.
+
+    Same closed form as ``solvers.multigrid.coarsen`` except at the shard's
+    row edges: the crossing coupling into the next shard is carried by the
+    local ``a_s`` of the last fine row (the odd-row block sum keeps it),
+    and the first coarse row's ``a_n`` arrives from the previous shard's
+    last coarse ``a_s`` via ppermute.  Requires even local ny.
+    """
+    from ..solvers.multigrid import _blocks, restrict
+
+    ae_b = _blocks(c_l.a_e)                       # (..., I, 2, J, 2)
+    as_b = _blocks(c_l.a_s)
+    a_e_c = ae_b[..., :, :, :, 1].sum(-2)
+    a_s_c = as_b[..., :, 1, :, :].sum(-1)
+    internal = ae_b[..., :, :, :, 0].sum(-2) + as_b[..., :, 0, :, :].sum(-1)
+    diag_c = restrict(c_l.diag) - 2.0 * internal
+    b_c = restrict(c_l.b)
+
+    z_col = jnp.zeros_like(a_e_c[..., :, :1])
+    a_e_c = jnp.concatenate([a_e_c[..., :, :-1], z_col], axis=-1)
+    a_w_c = jnp.concatenate([z_col, a_e_c[..., :, :-1]], axis=-1)
+
+    n = jax.lax.axis_size(axis_name)
+    last_as = a_s_c[..., -1:, :]
+    if n > 1:
+        halo = jax.lax.ppermute(last_as, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    else:
+        halo = jnp.zeros_like(last_as)
+    a_n_c = jnp.concatenate([halo, a_s_c[..., :-1, :]], axis=-2)
+
+    floor = jnp.asarray(1e-6, diag_c.dtype) * restrict(c_l.diag)
+    ok = diag_c > floor
+    diag_inv = jnp.where(ok, 1.0 / jnp.where(ok, diag_c, 1.0), 0.0)
+    return fvm.StencilCoeffs(a_w_c, a_e_c, a_n_c, a_s_c, diag_c, diag_inv, b_c)
+
+
+def _smooth_local_2d(c_l, x, b, omega, axis_name):
+    north, south = halo_exchange_rows(x, axis_name)
+    xn = jnp.concatenate([north, x[..., :-1, :]], axis=-2)
+    xs = jnp.concatenate([x[..., 1:, :], south], axis=-2)
+    z = jnp.zeros_like(x[..., :, :1])
+    xw = jnp.concatenate([z, x[..., :, :-1]], axis=-1)
+    xe = jnp.concatenate([x[..., :, 1:], z], axis=-1)
+    num = (b + c_l.a_w * xw + c_l.a_e * xe + c_l.a_n * xn + c_l.a_s * xs)
+    return (1.0 - omega) * x + omega * num * c_l.diag_inv
+
+
+def _build_sharded_hierarchy_2d(c_l, ny_local, axis_name, min_size=8):
+    from ..solvers.multigrid import build_hierarchy
+
+    sharded = [c_l]
+    while ny_local % 2 == 0 and ny_local >= 4 and c_l.diag.shape[-1] % 2 == 0 \
+            and c_l.diag.shape[-1] > min_size:
+        c_l = _coarsen_local_2d(c_l, axis_name)
+        ny_local //= 2
+        sharded.append(c_l)
+
+    gathered = jax.tree.map(
+        lambda a: jax.lax.all_gather(a, axis_name, axis=a.ndim - 2, tiled=True),
+        sharded[-1])
+    replicated = build_hierarchy(gathered, min_size=min_size)
+    return sharded[:-1], replicated
+
+
+def _v_cycle_sharded_2d(sharded_levels, replicated_levels, r, *, nu1=1, nu2=1,
+                        omega=0.8, coarse_iters=32, over=1.8,
+                        axis_name="sp", level=0):
+    from ..solvers import multigrid as mg
+
+    if level == len(sharded_levels):
+        r_full = jax.lax.all_gather(r, axis_name, axis=r.ndim - 2, tiled=True)
+        e_full = mg.v_cycle(replicated_levels, r_full, nu1=nu1, nu2=nu2,
+                            omega=omega, coarse_iters=coarse_iters, over=over)
+        idx = jax.lax.axis_index(axis_name)
+        ny_local = r.shape[-2]
+        return jax.lax.dynamic_slice_in_dim(
+            e_full, idx * ny_local, ny_local, axis=e_full.ndim - 2)
+
+    c = sharded_levels[level]
+    e = jnp.zeros_like(r)
+    for _ in range(nu1):
+        e = _smooth_local_2d(c, e, r, omega, axis_name)
+    res = r - (c.diag * e - _neighbor_sum_2d_local(c, e, axis_name))
+    from ..solvers.multigrid import restrict
+    r_c = restrict(res)
+    e_c = _v_cycle_sharded_2d(sharded_levels, replicated_levels, r_c,
+                              nu1=nu1, nu2=nu2, omega=omega,
+                              coarse_iters=coarse_iters, over=over,
+                              axis_name=axis_name, level=level + 1)
+    from ..solvers.multigrid import prolong
+    e = e + over * prolong(e_c)
+    for _ in range(nu2):
+        e = _smooth_local_2d(c, e, r, omega, axis_name)
+    return e
+
+
+def _neighbor_sum_2d_local(c, x, axis_name):
+    north, south = halo_exchange_rows(x, axis_name)
+    xn = jnp.concatenate([north, x[..., :-1, :]], axis=-2)
+    xs = jnp.concatenate([x[..., 1:, :], south], axis=-2)
+    z = jnp.zeros_like(x[..., :, :1])
+    xw = jnp.concatenate([z, x[..., :, :-1]], axis=-1)
+    xe = jnp.concatenate([x[..., :, 1:], z], axis=-1)
+    return c.a_w * xw + c.a_e * xe + c.a_n * xn + c.a_s * xs
+
+
+def sharded_solve_mgcg(
+    coeffs: fvm.StencilCoeffs,
+    spec: BoundaryFluxSpec,
+    x0: jax.Array,
+    mesh: Mesh,
+    *,
+    omega: float = 0.0,
+    tol: float = 1e-8,
+    max_iter: int = 10_000,
+    check_every: int = 10_000,
+    criterion: str = "residual",
+    nu1: int = 1,
+    nu2: int = 1,
+    mg_omega: float = 0.8,
+    coarse_iters: int = 32,
+    min_size: int = 8,
+    over: float = 1.8,
+    spatial_axis: str = "sp",
+    batch_axis: str = "dp",
+) -> SolveResult:
+    """Row-sharded 2D multigrid-PCG: shard-local Galerkin coarsening down to
+    2-row slabs, then a replicated coarse tail; equals the unsharded
+    ``solve_mgcg`` to rounding (single volumes; batch via dp + CG)."""
+    from ..solvers.pcg import run_pcg
+
+    if x0.ndim == 3:
+        raise NotImplementedError("sharded 2D MGCG is single-image")
+    check_every = min(check_every, 10)
+    grid_spec = P(spatial_axis, None)
+    col_spec = P(spatial_axis)
+    coeffs_specs = fvm.StencilCoeffs(*([grid_spec] * 7))
+    spec_specs = BoundaryFluxSpec(
+        d_left=col_spec, d_right=col_spec,
+        c_left=P(), c_right=P(), inv_half_dx=P())
+    out_specs = SolveResult(x=grid_spec, deff=P(), conv=P(), iters=P())
+    n_shards = mesh.shape[spatial_axis]
+    ny_local = x0.shape[-2] // n_shards
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(coeffs_specs, spec_specs, grid_spec),
+        out_specs=out_specs, check_vma=False,
+    )
+    def run(c_l, s_l, x0_l):
+        sharded_levels, replicated_levels = _build_sharded_hierarchy_2d(
+            c_l, ny_local, spatial_axis, min_size=min_size)
+
+        def precond(r):
+            return _v_cycle_sharded_2d(
+                sharded_levels, replicated_levels, r, nu1=nu1, nu2=nu2,
+                omega=mg_omega, coarse_iters=coarse_iters, over=over,
+                axis_name=spatial_axis)
+
+        def matvec(p):
+            return c_l.diag * p - _neighbor_sum_2d_local(c_l, p, spatial_axis)
+
+        def dot_fn(u, v):
+            return jax.lax.psum(jnp.sum(u * v, axis=(-2, -1)), spatial_axis)
+
+        def mean_abs_fn(u):
+            s = jax.lax.psum(jnp.sum(jnp.abs(u), axis=(-2, -1)), spatial_axis)
+            nn = u.shape[-2] * u.shape[-1] * jax.lax.axis_size(spatial_axis)
+            return s / nn
+
+        def deff_fn(x):
+            return _deff_local(s_l, x, spatial_axis)
+
+        return run_pcg(
+            matvec=matvec, precond=precond, b=c_l.b, x0=x0_l,
+            deff_fn=deff_fn, tol=tol, max_iter=max_iter,
+            check_every=check_every, criterion=criterion, grid_ndim=2,
+            batched=False, mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
+        )
 
     return jax.jit(run)(coeffs, spec, x0)

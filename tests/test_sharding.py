@@ -143,3 +143,24 @@ class TestSharded3D:
         np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-10)
         np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                    rtol=1e-7, atol=1e-10)
+
+
+def test_sharded_mgcg_2d_equals_unsharded(rng):
+    from effectivediffusivityfvm_tpu.parallel.halo import sharded_solve_mgcg
+    from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg
+
+    ny, nx = 64, 32
+    d = np.exp(rng.uniform(0, np.log(1e3), (ny, nx)))
+    dj = jnp.asarray(d)
+    c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+    from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+    spec = make_flux_spec(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (ny, nx))
+    mesh = make_mesh(8, dp=1)
+    kw = dict(tol=1e-9, max_iter=2000, check_every=10)
+    ref = solve_mgcg(c, spec, x0, **kw)
+    got = sharded_solve_mgcg(c, spec, x0, mesh, **kw)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-10)
