@@ -16,11 +16,17 @@ while the rest keep sweeping (see ``solve_jacobi_batched``).
 Checkpoint/resume (aux subsystem, fixes the reference's documented
 all-or-nothing limitation, PDF §3.6): with ``cfg.incremental_output`` rows are
 flushed per completed group and a rerun resumes after the last finished image.
+
+Host/device pipelining (SURVEY.md §2.6 PP row): group k+1's host
+preprocessing (decode/classify/flood-fill/stack — GIL-free in the native
+path) runs on a worker thread while the device solves group k
+(:func:`_prefetched`).
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -151,6 +157,22 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
     return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt, svf, lvf
 
 
+def _prefetched(groups, prepare):
+    """Yield ``(group, prepare(group))`` with the next group's host
+    preprocessing overlapped with the caller's device work on the current
+    one (single worker thread; JAX dispatch is async so the solve call
+    returns to the loop quickly)."""
+    if not groups:
+        return
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prepare, groups[0])
+        for i, group in enumerate(groups):
+            data = fut.result()
+            if i + 1 < len(groups):
+                fut = pool.submit(prepare, groups[i + 1])
+            yield group, data
+
+
 def _attribute_time(total_s: float, iters: np.ndarray) -> np.ndarray:
     """Per-image Time attribution for a fused group solve: proportional to
     each image's sweep count (the reference reports true per-image GPU time;
@@ -179,16 +201,22 @@ def batch_sim(cfg: SimulationConfig, imgs: Optional[Sequence[np.ndarray]] = None
     if done:
         vprint(cfg.verbose, f"Resuming batch: {done} images already completed")
 
-    for group in _group_by_shape(imgs, pending, cfg.batch_size):
+    groups = _group_by_shape(imgs, pending, cfg.batch_size)
+
+    def prepare(group):
         stack = np.stack([imgs[i] for i in group])
+        stats = [(phases.porosity(imgs[i]),
+                  floodfill.flood_fill(imgs[i] > 150).path_flag) for i in group]
+        return stack, stats
+
+    for group, (stack, stats) in _prefetched(groups, prepare):
         deff, conv, iters, _, dt = solve_image_group(cfg, stack)
         times = _attribute_time(dt, iters)
         for k, i in enumerate(group):
             im = imgs[i]
-            poro = phases.porosity(im)
-            ff = floodfill.flood_fill(im > 150)
+            poro, pf = stats[k]
             ne = im.shape[0] * cfg.mesh_amp_y * im.shape[1] * cfg.mesh_amp_x
-            row = (i, poro, int(ff.path_flag), float(deff[k]), float(times[k]),
+            row = (i, poro, int(pf), float(deff[k]), float(times[k]),
                    ne, float(conv[k]), cfg.d_solid, cfg.d_fluid)
             out[i] = row
             if inc:
@@ -217,15 +245,20 @@ def batch_sim_3phase(cfg: SimulationConfig, imgs: Optional[Sequence[np.ndarray]]
     done = inc.completed() if inc else 0
     pending = [i for i in range(n) if i >= done]
 
-    for group in _group_by_shape(imgs, pending, cfg.batch_size):
+    groups = _group_by_shape(imgs, pending, cfg.batch_size)
+
+    def prepare(group):
         stack = np.stack([imgs[i] for i in group])
+        flags = [floodfill.flood_fill(imgs[i] > 200).path_flag for i in group]
+        return stack, flags
+
+    for group, (stack, flags) in _prefetched(groups, prepare):
         deff, conv, iters, x, dt, svf, lvf = solve_image_group_3phase(cfg, stack)
         times = _attribute_time(dt, iters)
         for k, i in enumerate(group):
             im = imgs[i]
-            ff = floodfill.flood_fill(im > 200)
             ne = im.shape[0] * cfg.mesh_amp_y * im.shape[1] * cfg.mesh_amp_x
-            row = (i, float(svf[k]), float(lvf[k]), int(ff.path_flag),
+            row = (i, float(svf[k]), float(lvf[k]), int(flags[k]),
                    float(deff[k]), float(times[k]), ne, float(conv[k]),
                    cfg.d_solid, cfg.d_fluid, cfg.d_gas)
             out[i] = row
