@@ -44,9 +44,14 @@ class SimulationConfig:
     # ---- TPU-native extensions (no reference equivalent) ----
     dtype: str = "float32"            # compute dtype on device ("float32"/"float64")
     solver: str = "jacobi"            # jacobi|rbsor|cg|mgcg|cgir|jacobi_pallas
-    check_every: int = 10_000         # convergence-check cadence in sweeps
-                                      #   (reference hardcodes iterToCheck=10000,
-                                      #    Deff2D.cuh:1174)
+    check_every: int = 0              # convergence-check cadence in iterations;
+                                      #   0 = per-solver default (sweep solvers:
+                                      #   10000, the reference's hardcoded
+                                      #   iterToCheck, Deff2D.cuh:1174; cg/cgir/
+                                      #   dcg: 100; mgcg: 10 — one V-cycle does
+                                      #   the work of many sweeps).  An explicit
+                                      #   value is honored exactly by every
+                                      #   solver, never silently clamped.
     omega: float = 0.0                # relaxation factor; 0 = solver default
                                       #   (jacobi: 2/3, the reference's hardcoded
                                       #    weight Deff2D.cuh:72; rbsor: SOR-optimal

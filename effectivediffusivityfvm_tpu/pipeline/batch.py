@@ -39,7 +39,7 @@ from ..io import writers
 from ..models import floodfill, phases
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, make_flux_spec
-from ..solvers.dispatch import solve_batched
+from ..solvers.dispatch import needs_spd, solve_batched
 from ..utils.logging import vprint
 from ..utils.timing import time_fn
 from .single import dcg_stages, _linear_init
@@ -124,7 +124,7 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
         )
         return (
             _build_coeffs_batch_masked(d_field, cfg.c_left, cfg.c_right, mask,
-                                       cfg.solver == "cg"),
+                                       needs_spd(cfg.solver)),
             _flux_spec_batch(d_field, cfg.c_left, cfg.c_right),
         )
 

@@ -37,7 +37,7 @@ from ..io import writers
 from ..models import floodfill, phases
 from ..ops import fvm
 from ..ops.flux import make_flux_spec
-from ..solvers.dispatch import solve as _dispatch_solve
+from ..solvers.dispatch import needs_spd, solve as _dispatch_solve
 from ..utils.logging import vprint
 from ..utils.timing import time_fn
 
@@ -211,11 +211,12 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
         d_field = jnp.asarray(
             phases.d_field_from_classes(classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype)
         )
-        # Krylov solvers need the SPD (symmetrized) masked assembly;
-        # identical solution
+        # Krylov solvers and the Pallas kernel need the SPD (symmetrized)
+        # masked assembly; identical solution (shared predicate with the
+        # batch/volume pipelines)
         coeffs = fvm.fvm_coefficients(
             d_field, cfg.c_left, cfg.c_right, mask=mask,
-            symmetric=(cfg.solver in ("cg", "mgcg", "cgir", "dcg")))
+            symmetric=needs_spd(cfg.solver))
         spec = make_flux_spec(d_field, cfg.c_left, cfg.c_right)
         return coeffs, spec
 

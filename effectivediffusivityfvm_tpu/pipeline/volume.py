@@ -14,6 +14,7 @@ CSV output reuses the reference schemas with ``nElements`` = voxel count.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Optional
 
 import jax.numpy as jnp
@@ -53,9 +54,21 @@ _SOLVERS = {
 }
 
 
-def _solve3d(cfg, coeffs, spec, x, tol, max_iter):
-    name = cfg.solver if cfg.solver in _SOLVERS else "mgcg"
-    fn = _SOLVERS[name]
+def _effective_solver_3d(cfg) -> str:
+    """3D solver actually used: cgir/dcg/jacobi_pallas have no 3D variant yet
+    and substitute mgcg — loudly, and the symmetric-assembly flag follows the
+    substitute (advisor round-1 finding: a silent swap ran MGCG on the
+    unsymmetrized masked operator)."""
+    if cfg.solver in _SOLVERS:
+        return cfg.solver
+    warnings.warn(
+        f"solver {cfg.solver!r} has no 3D implementation; using 'mgcg'",
+        stacklevel=3)
+    return "mgcg"
+
+
+def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None):
+    fn = _SOLVERS[name or _effective_solver_3d(cfg)]
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
               check_every=cfg.check_every, criterion=cfg.criterion)
 
@@ -82,12 +95,14 @@ def volume_sim(cfg: SimulationConfig, vol: np.ndarray,
     deff = conv = float("nan")
     iters = 0
     time_s = 0.0
+    solver3d = _effective_solver_3d(cfg)
     for dcf in dcf_stages(cfg.d_fluid):
         d_field = jnp.asarray(
             phases.d_field_from_classes(classes, dcf, cfg.d_solid, dtype=dtype))
         coeffs = fvm3d.fvm_coefficients_3d(d_field, cfg.c_left, cfg.c_right)
         spec = fvm3d.make_flux_spec_3d(d_field, cfg.c_left, cfg.c_right)
-        res, dt = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence, cfg.max_iter)
+        res, dt = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence,
+                          cfg.max_iter, solver3d)
         x = res.x
         deff = float(res.deff) / dcf
         conv = float(res.conv)
@@ -122,7 +137,8 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
     svf, lvf = phases.phase_fractions(classes)
     x = _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype)
 
-    symmetric = cfg.solver in ("cg", "mgcg")
+    solver3d = _effective_solver_3d(cfg)
+    symmetric = solver3d in ("cg", "mgcg")
 
     def build(dcg_val):
         d_field = jnp.asarray(phases.d_field_from_classes(
@@ -136,11 +152,13 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
     for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
-        res = _solve3d(cfg, coeffs, spec, x, cfg.convergence * 10, stage_max_iter)
+        res = _solve3d(cfg, coeffs, spec, x, cfg.convergence * 10,
+                       stage_max_iter, solver3d)
         x = res.x
 
     coeffs, spec = build(cfg.d_gas)
-    res, time_s = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence, cfg.max_iter)
+    res, time_s = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence,
+                          cfg.max_iter, solver3d)
     deff = float(res.deff) / cfg.d_fluid
     result = VolumeResult(deff=deff, porosity=0.0, path_flag=ff.path_flag,
                           time_s=time_s, n_elements=classes.size,

@@ -25,20 +25,21 @@ import jax
 
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
-from .driver import SolveResult
+from .driver import SolveResult, resolve_check_every
 from .pcg import run_pcg
 
 __all__ = ["solve_cg", "solve_cg_batched"]
 
 
 def _run(coeffs, spec, x0, batched, *, tol, max_iter, check_every, criterion):
+    check_every = resolve_check_every(check_every, 100)
     return run_pcg(
         matvec=lambda p: fvm.apply_operator(coeffs, p),
         precond=lambda r: coeffs.diag_inv * r,
         b=coeffs.b,
         x0=x0,
         deff_fn=lambda x: boundary_deff(spec, x),
-        tol=tol, max_iter=max_iter, check_every=min(check_every, 100),
+        tol=tol, max_iter=max_iter, check_every=check_every,
         criterion=criterion, grid_ndim=2, batched=batched,
     )
 
@@ -47,7 +48,7 @@ def _run(coeffs, spec, x0, batched, *, tol, max_iter, check_every, criterion):
     jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
 )
 def solve_cg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-             max_iter: int = 100_000, check_every: int = 10_000,
+             max_iter: int = 100_000, check_every: int = 0,
              criterion: str = "residual") -> SolveResult:
     """PCG solve of one image.  ``omega`` is accepted for signature parity
     with the sweep solvers and ignored."""
@@ -59,7 +60,7 @@ def solve_cg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
 )
 def solve_cg_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-                     max_iter: int = 100_000, check_every: int = 10_000,
+                     max_iter: int = 100_000, check_every: int = 0,
                      criterion: str = "residual") -> SolveResult:
     """Batched PCG with per-image freezing (same semantics as the batched
     sweep drivers)."""

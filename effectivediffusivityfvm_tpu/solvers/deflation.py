@@ -42,7 +42,7 @@ import numpy as np
 
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
-from .driver import SolveResult
+from .driver import SolveResult, resolve_check_every
 from .pcg import run_pcg
 
 __all__ = ["DeflationSpace", "build_component_deflation", "solve_dcg"]
@@ -184,7 +184,7 @@ def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
     defl = DeflationSpace(labels=labels, e_inv=e_inv, m=m)
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
-    check_every = min(check_every, 100)
+    check_every = resolve_check_every(check_every, 100)
 
     def matvec(p):
         return fvm.apply_operator(coeffs, p)
@@ -256,7 +256,7 @@ def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
 
 
 def solve_dcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-              max_iter: int = 100_000, check_every: int = 10_000,
+              max_iter: int = 100_000, check_every: int = 0,
               criterion: str = "relresidual",
               member: Optional[np.ndarray] = None,
               defl: Optional[DeflationSpace] = None) -> SolveResult:

@@ -12,7 +12,21 @@ from __future__ import annotations
 
 from .jacobi import SolveResult, solve_jacobi, solve_jacobi_batched
 
-__all__ = ["solve", "solve_batched", "SolveResult"]
+__all__ = ["solve", "solve_batched", "needs_spd", "SolveResult"]
+
+
+def needs_spd(name: str) -> bool:
+    """True if ``name`` requires the symmetrized (SPD) masked assembly.
+
+    Krylov solvers (cg/mgcg/cgir/dcg) need symmetry for their convergence
+    theory; the fused Pallas kernel reconstructs east/south couplings as
+    rolls of a_w/a_n (ops/kernels/jacobi_vmem.py), which silently applies a
+    transposed operator on an unsymmetric masked system.  The symmetrized
+    assembly has the identical exact solution (see fvm.fvm_coefficients), so
+    every pipeline routes 3-phase systems for these solvers through it via
+    this single predicate.
+    """
+    return name in ("cg", "mgcg", "cgir", "dcg", "jacobi_pallas")
 
 
 def _lookup(name: str, batched: bool):

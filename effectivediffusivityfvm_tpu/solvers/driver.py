@@ -38,7 +38,19 @@ import jax.numpy as jnp
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
 
-__all__ = ["SolveResult", "run_single", "run_batched"]
+__all__ = ["SolveResult", "run_single", "run_batched", "resolve_check_every"]
+
+
+def resolve_check_every(check_every: int, default: int) -> int:
+    """Resolve the convergence-check cadence.
+
+    ``check_every <= 0`` means "use the solver's default": 10,000 sweeps for
+    the sweep solvers (the reference's hardcoded iterToCheck, Deff2D.cuh:1174),
+    100 for CG-family solvers, 10 for MGCG (a V-cycle does the work of many
+    sweeps, so checks must be proportionally denser).  An explicit positive
+    value is honored exactly — never silently clamped (round-1 verdict #9).
+    """
+    return default if check_every is None or check_every <= 0 else check_every
 
 
 class SolveResult(NamedTuple):

@@ -41,11 +41,12 @@ def solve_jacobi(
     omega: float = 2.0 / 3.0,
     tol: float = 1e-5,
     max_iter: int = 500_000,
-    check_every: int = 10_000,
+    check_every: int = 0,
     criterion: str = "deff",
 ) -> SolveResult:
     """Solve one image to the reference stopping rule; fully on-device."""
     omega = omega or 2.0 / 3.0
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_single(
         lambda x: fvm.jacobi_sweep(coeffs, x, omega),
         coeffs, spec, x0,
@@ -65,7 +66,7 @@ def solve_jacobi_batched(
     omega: float = 2.0 / 3.0,
     tol: float = 1e-5,
     max_iter: int = 500_000,
-    check_every: int = 10_000,
+    check_every: int = 0,
     criterion: str = "deff",
 ) -> SolveResult:
     """Batched solve with per-image convergence (the ML-datagen mode).
@@ -76,6 +77,7 @@ def solve_jacobi_batched(
     would have stopped it.
     """
     omega = omega or 2.0 / 3.0
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_batched(
         lambda x: fvm.jacobi_sweep(coeffs, x, omega),
         coeffs, spec, x0,

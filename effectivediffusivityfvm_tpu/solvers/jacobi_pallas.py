@@ -36,7 +36,7 @@ def _interpret() -> bool:
 )
 def solve_jacobi_pallas(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
                         tol: float = 1e-5, max_iter: int = 500_000,
-                        check_every: int = 10_000,
+                        check_every: int = 0,
                         criterion: str = "deff") -> SolveResult:
     omega = omega or 2.0 / 3.0
     batched_coeffs = jax.tree.map(lambda a: a[None], coeffs)
@@ -55,15 +55,21 @@ def solve_jacobi_pallas(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
 )
 def solve_jacobi_pallas_batched(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
                                 tol: float = 1e-5, max_iter: int = 500_000,
-                                check_every: int = 10_000,
+                                check_every: int = 0,
                                 criterion: str = "deff") -> SolveResult:
     from ..ops.kernels.jacobi_vmem import jacobi_sweeps_pallas
 
+    if criterion not in ("deff", "residual", "relresidual"):
+        raise ValueError(f"unknown criterion {criterion!r}")
+    from .driver import resolve_check_every
+    check_every = resolve_check_every(check_every, 10_000)
     omega = omega or 2.0 / 3.0
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
     bsz = x0.shape[0]
     interp = _interpret()
+    bscale = (jnp.mean(jnp.abs(coeffs.b), axis=(1, 2))
+              if criterion == "relresidual" else None)
 
     def active_of(pc, it):
         return (tol_ < jnp.abs(pc)) & (it < max_iter)
@@ -85,6 +91,8 @@ def solve_jacobi_pallas_batched(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
         deff_new = boundary_deff(spec, x)
         if criterion == "deff":
             pc_new = (deff_old - deff_new) / deff_old
+        elif criterion == "relresidual":
+            pc_new = fvm.residual(coeffs, x) / bscale
         else:
             pc_new = fvm.residual(coeffs, x)
 

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
-from .driver import SolveResult
+from .driver import SolveResult, resolve_check_every
 from .pcg import run_pcg
 
 __all__ = ["build_hierarchy", "v_cycle", "solve_mgcg", "solve_mgcg_batched"]
@@ -229,15 +229,15 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                      "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
 )
 def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-               max_iter: int = 10_000, check_every: int = 10_000,
+               max_iter: int = 10_000, check_every: int = 0,
                criterion: str = "residual", nu1: int = 1, nu2: int = 1,
                mg_omega: float = 0.8, coarse_iters: int = 32,
                min_size: int = 8, over: float = 1.8) -> SolveResult:
     """Multigrid-preconditioned CG, single image.  ``omega`` ignored
     (signature parity)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
-                      check_every=min(check_every, 10), criterion=criterion,
-                      batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,
+                      check_every=resolve_check_every(check_every, 10),
+                      criterion=criterion, batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,
                       coarse_iters=coarse_iters, min_size=min_size, over=over)
 
 
@@ -248,11 +248,11 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
 )
 def solve_mgcg_batched(coeffs, spec, x0, *, omega: float = 0.0,
                        tol: float = 1e-8, max_iter: int = 10_000,
-                       check_every: int = 10_000, criterion: str = "residual",
+                       check_every: int = 0, criterion: str = "residual",
                        nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
                        coarse_iters: int = 32, min_size: int = 8,
                        over: float = 1.8) -> SolveResult:
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
-                      check_every=min(check_every, 10), criterion=criterion,
-                      batched=True, nu1=nu1, nu2=nu2, omega=mg_omega,
+                      check_every=resolve_check_every(check_every, 10),
+                      criterion=criterion, batched=True, nu1=nu1, nu2=nu2, omega=mg_omega,
                       coarse_iters=coarse_iters, min_size=min_size, over=over)

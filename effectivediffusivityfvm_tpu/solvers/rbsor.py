@@ -75,11 +75,12 @@ def solve_rbsor(
     omega: float = 0.0,          # 0 or None -> auto (omega_opt of the grid)
     tol: float = 1e-5,
     max_iter: int = 500_000,
-    check_every: int = 10_000,
+    check_every: int = 0,
     criterion: str = "deff",
 ) -> SolveResult:
     if not omega:
         omega = omega_opt(x0.shape[-2], x0.shape[-1])
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_single(
         lambda x: rb_sweep(coeffs, x, omega),
         coeffs, spec, x0,
@@ -98,11 +99,12 @@ def solve_rbsor_batched(
     omega: float = 0.0,
     tol: float = 1e-5,
     max_iter: int = 500_000,
-    check_every: int = 10_000,
+    check_every: int = 0,
     criterion: str = "deff",
 ) -> SolveResult:
     if not omega:
         omega = omega_opt(x0.shape[-2], x0.shape[-1])
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_batched(
         lambda x: rb_sweep(coeffs, x, omega),
         coeffs, spec, x0,

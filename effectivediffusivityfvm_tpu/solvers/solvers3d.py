@@ -178,8 +178,9 @@ def v_cycle_3d(levels, r, *, nu1=1, nu2=1, omega=0.8, coarse_iters=32,
 )
 def solve_jacobi_3d(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
                     tol: float = 1e-5, max_iter: int = 500_000,
-                    check_every: int = 10_000, criterion: str = "deff") -> SolveResult:
+                    check_every: int = 0, criterion: str = "deff") -> SolveResult:
     omega = omega or 2.0 / 3.0
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_single(
         lambda x: fvm3d.jacobi_sweep_3d(coeffs, x, omega),
         coeffs, None, x0,
@@ -194,9 +195,10 @@ def solve_jacobi_3d(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
 )
 def solve_jacobi_3d_batched(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
                             tol: float = 1e-5, max_iter: int = 500_000,
-                            check_every: int = 10_000,
+                            check_every: int = 0,
                             criterion: str = "deff") -> SolveResult:
     omega = omega or 2.0 / 3.0
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_batched(
         lambda x: fvm3d.jacobi_sweep_3d(coeffs, x, omega),
         coeffs, None, x0,
@@ -225,11 +227,12 @@ def _rb_sweep_3d(coeffs, x, omega):
     jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
 )
 def solve_rbsor_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-5,
-                   max_iter: int = 500_000, check_every: int = 10_000,
+                   max_iter: int = 500_000, check_every: int = 0,
                    criterion: str = "deff") -> SolveResult:
     from .rbsor import omega_opt
 
     omega = omega or omega_opt(max(x0.shape[-3:]), max(x0.shape[-3:]))
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_single(
         lambda x: _rb_sweep_3d(coeffs, x, omega),
         coeffs, None, x0,
@@ -244,11 +247,12 @@ def solve_rbsor_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-5,
 )
 def solve_rbsor_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
                            tol: float = 1e-5, max_iter: int = 500_000,
-                           check_every: int = 10_000,
+                           check_every: int = 0,
                            criterion: str = "deff") -> SolveResult:
     from .rbsor import omega_opt
 
     omega = omega or omega_opt(max(x0.shape[-3:]), max(x0.shape[-3:]))
+    check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_batched(
         lambda x: _rb_sweep_3d(coeffs, x, omega),
         coeffs, None, x0,
@@ -274,10 +278,11 @@ def _pcg3(coeffs, spec, x0, precond, batched, *, tol, max_iter, check_every, cri
     jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
 )
 def solve_cg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-                max_iter: int = 100_000, check_every: int = 10_000,
+                max_iter: int = 100_000, check_every: int = 0,
                 criterion: str = "residual") -> SolveResult:
     return _pcg3(coeffs, spec, x0, lambda r: coeffs.diag_inv * r, False,
-                 tol=tol, max_iter=max_iter, check_every=min(check_every, 100),
+                 tol=tol, max_iter=max_iter,
+                 check_every=driver.resolve_check_every(check_every, 100),
                  criterion=criterion)
 
 
@@ -285,10 +290,11 @@ def solve_cg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     jax.jit, static_argnames=("omega", "tol", "max_iter", "check_every", "criterion"),
 )
 def solve_cg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-                        max_iter: int = 100_000, check_every: int = 10_000,
+                        max_iter: int = 100_000, check_every: int = 0,
                         criterion: str = "residual") -> SolveResult:
     return _pcg3(coeffs, spec, x0, lambda r: coeffs.diag_inv * r, True,
-                 tol=tol, max_iter=max_iter, check_every=min(check_every, 100),
+                 tol=tol, max_iter=max_iter,
+                 check_every=driver.resolve_check_every(check_every, 100),
                  criterion=criterion)
 
 
@@ -298,7 +304,7 @@ def solve_cg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e
                      "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
 )
 def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-                  max_iter: int = 10_000, check_every: int = 10_000,
+                  max_iter: int = 10_000, check_every: int = 0,
                   criterion: str = "residual", nu1: int = 1, nu2: int = 1,
                   mg_omega: float = 0.8, coarse_iters: int = 32,
                   min_size: int = 4, over: float = 1.8) -> SolveResult:
@@ -306,7 +312,8 @@ def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     precond = lambda r: v_cycle_3d(levels, r, nu1=nu1, nu2=nu2, omega=mg_omega,
                                    coarse_iters=coarse_iters, over=over)
     return _pcg3(coeffs, spec, x0, precond, False,
-                 tol=tol, max_iter=max_iter, check_every=min(check_every, 10),
+                 tol=tol, max_iter=max_iter,
+                 check_every=driver.resolve_check_every(check_every, 10),
                  criterion=criterion)
 
 
@@ -317,7 +324,7 @@ def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
 )
 def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
                           tol: float = 1e-8, max_iter: int = 10_000,
-                          check_every: int = 10_000, criterion: str = "residual",
+                          check_every: int = 0, criterion: str = "residual",
                           nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
                           coarse_iters: int = 32, min_size: int = 4,
                           over: float = 1.8) -> SolveResult:
@@ -325,5 +332,6 @@ def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
     precond = lambda r: v_cycle_3d(levels, r, nu1=nu1, nu2=nu2, omega=mg_omega,
                                    coarse_iters=coarse_iters, over=over)
     return _pcg3(coeffs, spec, x0, precond, True,
-                 tol=tol, max_iter=max_iter, check_every=min(check_every, 10),
+                 tol=tol, max_iter=max_iter,
+                 check_every=driver.resolve_check_every(check_every, 10),
                  criterion=criterion)

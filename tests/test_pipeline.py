@@ -181,6 +181,30 @@ class TestSingle3Phase:
         assert res.lvf == pytest.approx(0.5)
 
 
+class TestPallas3Phase:
+    def test_jacobi_pallas_matches_jacobi_on_masked_system(self, rng):
+        """Round-1 advisor (high): the fused Pallas kernel reconstructs E/S
+        couplings as rolls of a_w/a_n, assuming a symmetric stencil; 3-phase
+        masked assembly is unsymmetric unless the pipeline routes it through
+        the symmetrized build (needs_spd).  Both solvers must now agree."""
+        img = np.full((24, 24), 150, np.uint8)
+        img[rng.random((24, 24)) < 0.2] = 255   # scattered solid -> masked rows
+        img[rng.random((24, 24)) < 0.2] = 0     # gas
+        img[:, 0] = img[:, -1] = 150            # keep boundaries fluid/percolating
+        results = {}
+        for solver in ("jacobi", "jacobi_pallas"):
+            cfg = SimulationConfig(
+                n_phase=3, d_fluid=1.0, d_solid=0.0, d_gas=50.0,
+                convergence=1e-10, max_iter=300_000, check_every=500,
+                dtype="float64", criterion="residual", solver=solver,
+            )
+            results[solver] = single_sim_3phase(cfg, img=img, write_output=False)
+        np.testing.assert_allclose(
+            results["jacobi_pallas"].deff, results["jacobi"].deff, rtol=1e-8)
+        np.testing.assert_allclose(
+            results["jacobi_pallas"].x, results["jacobi"].x, atol=1e-8)
+
+
 class TestDCGPipeline:
     def test_three_phase_with_deflated_solver(self):
         from effectivediffusivityfvm_tpu.io.images import three_phase_parallel_slab
