@@ -123,17 +123,23 @@ class IncrementalBatchWriter:
     path: str
     three_phase: bool = False
 
-    def completed(self) -> int:
-        """Highest imgNum+1 already present in the file (0 if none)."""
+    def completed(self) -> set:
+        """Set of image indices already present in the file.
+
+        A set, not ``max+1``: groups are solved in shape order, not index
+        order, so an interrupted mixed-shape batch can have completed a
+        later-indexed group while an earlier-indexed one never ran — resuming
+        from ``max+1`` would silently skip those images (round-1 verdict #6).
+        """
+        done = set()
         if not os.path.exists(self.path):
-            return 0
-        last = -1
+            return done
         with open(self.path) as fh:
             for line in fh:
                 head = line.split(",", 1)[0]
                 if head.isdigit():
-                    last = max(last, int(head))
-        return last + 1
+                    done.add(int(head))
+        return done
 
     def __post_init__(self):
         self._header_written = False

@@ -100,6 +100,22 @@ def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
     return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt
 
 
+def _solve_batched_3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
+    """3-phase batched stage solve: routes 'dcg' (needs per-image gas-component
+    masks for its deflation spaces, mirroring pipeline/single._solve3p) or the
+    regular dispatch."""
+    if cfg.solver == "dcg":
+        from ..solvers.deflation import solve_dcg_batched
+
+        return solve_dcg_batched(coeffs, spec, x, tol=tol, max_iter=max_iter,
+                                 check_every=cfg.check_every, members=gas_np)
+    return solve_batched(
+        cfg.solver, coeffs, spec, x,
+        omega=cfg.omega, tol=tol, max_iter=max_iter,
+        check_every=cfg.check_every, criterion=cfg.criterion,
+    )
+
+
 def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
     """3-phase batched solve of one same-shape group, DCG homotopy included
     (stage ladder depends only on the global DCG, so all images share it)."""
@@ -114,7 +130,9 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
             phases.amplify((im > 200) | ff.isolated, cfg.mesh_amp_y, cfg.mesh_amp_x)
         )
     classes = np.stack(class_list)
-    mask = jnp.asarray(np.stack(mask_list))
+    mask_np = np.stack(mask_list)
+    mask = jnp.asarray(mask_np)
+    gas_np = ((classes == phases.GAS) & ~mask_np) if cfg.solver == "dcg" else None
     bsz, ny, nx = classes.shape
 
     def build(dcg_val):
@@ -136,20 +154,14 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
     for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
-        res = solve_batched(
-            cfg.solver, coeffs, spec, x,
-            omega=cfg.omega, tol=cfg.convergence * 10, max_iter=stage_max_iter,
-            check_every=cfg.check_every, criterion=cfg.criterion,
-        )
+        res = _solve_batched_3p(cfg, coeffs, spec, x, cfg.convergence * 10,
+                                stage_max_iter, gas_np)
         x = res.x
 
     coeffs, spec = build(cfg.d_gas)
     res, dt = time_fn(
-        solve_batched,
-        cfg.solver, coeffs, spec, x,
-        omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
-        check_every=cfg.check_every, criterion=cfg.criterion,
-    )
+        _solve_batched_3p, cfg, coeffs, spec, x, cfg.convergence,
+        cfg.max_iter, gas_np)
     deff = np.asarray(res.deff, np.float64) / cfg.d_fluid
     fr = [phases.phase_fractions(c) for c in classes]
     svf = np.asarray([f[0] for f in fr])
@@ -196,10 +208,10 @@ def batch_sim(cfg: SimulationConfig, imgs: Optional[Sequence[np.ndarray]] = None
     out = np.zeros((n, 9))
 
     inc = writers.IncrementalBatchWriter(cfg.output_name) if cfg.incremental_output else None
-    done = inc.completed() if inc else 0
-    pending = [i for i in range(n) if i >= done]
+    done = inc.completed() if inc else set()
+    pending = [i for i in range(n) if i not in done]
     if done:
-        vprint(cfg.verbose, f"Resuming batch: {done} images already completed")
+        vprint(cfg.verbose, f"Resuming batch: {len(done)} images already completed")
 
     groups = _group_by_shape(imgs, pending, cfg.batch_size)
 
@@ -242,8 +254,8 @@ def batch_sim_3phase(cfg: SimulationConfig, imgs: Optional[Sequence[np.ndarray]]
 
     inc = (writers.IncrementalBatchWriter(cfg.output_name, three_phase=True)
            if cfg.incremental_output else None)
-    done = inc.completed() if inc else 0
-    pending = [i for i in range(n) if i >= done]
+    done = inc.completed() if inc else set()
+    pending = [i for i in range(n) if i not in done]
 
     groups = _group_by_shape(imgs, pending, cfg.batch_size)
 

@@ -45,7 +45,8 @@ from ..ops.flux import BoundaryFluxSpec, boundary_deff
 from .driver import SolveResult, resolve_check_every
 from .pcg import run_pcg
 
-__all__ = ["DeflationSpace", "build_component_deflation", "solve_dcg"]
+__all__ = ["DeflationSpace", "build_component_deflation", "solve_dcg",
+           "solve_dcg_batched"]
 
 
 class DeflationSpace(NamedTuple):
@@ -274,3 +275,66 @@ def solve_dcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                           omega=omega, tol=tol, max_iter=max_iter,
                           check_every=check_every, criterion=criterion,
                           m=defl.m)
+
+
+def _pad_deflation(defl: Optional[DeflationSpace], shape, dtype,
+                   m_max: int) -> tuple:
+    """Pad one image's deflation space to the batch-wide component count.
+
+    Zero-padded E^-1 rows/cols are inert: no cell carries a padded label, so
+    their segment sums are zero and the gather never reads them.  An image
+    with no components (labels all -1, e_inv all zero) degenerates to plain
+    diagonal PCG inside the same batched solve.
+    """
+    import numpy as _np
+
+    if defl is None:
+        return (_np.full(shape, -1, _np.int32), _np.zeros((m_max, m_max), dtype))
+    lab = _np.asarray(defl.labels, _np.int32)
+    e = _np.zeros((m_max, m_max), dtype)
+    e[:defl.m, :defl.m] = _np.asarray(defl.e_inv, dtype)
+    return lab, e
+
+
+def solve_dcg_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
+                      max_iter: int = 100_000, check_every: int = 0,
+                      criterion: str = "relresidual",
+                      members: Optional[np.ndarray] = None,
+                      defls: Optional[list] = None) -> SolveResult:
+    """Batched deflated PCG with per-image deflation spaces.
+
+    Each image gets its own component coarse space (built host-side from its
+    ``members[b]`` mask, or passed prebuilt via ``defls``), zero-padded to
+    the batch-wide maximum component count; the batch then advances as ONE
+    vmapped solve with per-image freezing (JAX's while_loop batching masks
+    each image's carry by its own stopping predicate, so results match solo
+    runs at the same check schedule).
+    """
+    bsz = x0.shape[0]
+    if defls is None:
+        if members is None:
+            from .cg import solve_cg_batched
+
+            return solve_cg_batched(coeffs, spec, x0, tol=tol, max_iter=max_iter,
+                                    check_every=check_every, criterion=criterion)
+        defls = [
+            build_component_deflation(
+                jax.tree.map(lambda a, k=k: a[k], coeffs), np.asarray(members[k]))
+            for k in range(bsz)
+        ]
+    m_max = max((d.m for d in defls if d is not None), default=0)
+    if m_max == 0:
+        from .cg import solve_cg_batched
+
+        return solve_cg_batched(coeffs, spec, x0, tol=tol, max_iter=max_iter,
+                                check_every=check_every, criterion=criterion)
+
+    np_dtype = np.dtype(str(x0.dtype))
+    padded = [_pad_deflation(d, x0.shape[1:], np_dtype, m_max) for d in defls]
+    labels = jnp.asarray(np.stack([p[0] for p in padded]))
+    e_inv = jnp.asarray(np.stack([p[1] for p in padded]))
+
+    solve_one = functools.partial(
+        _solve_dcg_jit, omega=omega, tol=tol, max_iter=max_iter,
+        check_every=check_every, criterion=criterion, m=m_max)
+    return jax.vmap(solve_one)(coeffs, spec, x0, labels, e_inv)

@@ -42,11 +42,11 @@ def _lookup(name: str, batched: bool):
         from .multigrid import solve_mgcg, solve_mgcg_batched
         return solve_mgcg_batched if batched else solve_mgcg
     if name == "cgir":
-        from .refine import solve_cgir
-        if batched:
-            raise NotImplementedError("cgir is single-image (round-1); "
-                                      "batch via a Python loop")
-        return solve_cgir
+        from .refine import solve_cgir, solve_cgir_batched
+        return solve_cgir_batched if batched else solve_cgir
+    if name == "dcg":
+        from .deflation import solve_dcg, solve_dcg_batched
+        return solve_dcg_batched if batched else solve_dcg
     if name == "jacobi_pallas":
         from .jacobi_pallas import solve_jacobi_pallas, solve_jacobi_pallas_batched
         return solve_jacobi_pallas_batched if batched else solve_jacobi_pallas

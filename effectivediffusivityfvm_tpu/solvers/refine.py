@@ -39,7 +39,7 @@ from ..ops.flux import BoundaryFluxSpec, boundary_deff
 from .driver import SolveResult
 from .pcg import run_pcg
 
-__all__ = ["solve_cgir"]
+__all__ = ["solve_cgir", "solve_cgir_batched"]
 
 
 def _mean_abs(a):
@@ -104,4 +104,75 @@ def solve_cgir(
 
     rel0 = _mean_abs(coeffs.b - fvm.apply_operator(coeffs, x0)) / bscale64
     x, outers, rel = jax.lax.while_loop(cond, body, (x0, jnp.int32(0), rel0))
+    return SolveResult(x=x, deff=boundary_deff(spec, x), conv=rel, iters=outers)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
+                     "inner_iters", "inner_tol"),
+)
+def solve_cgir_batched(
+    coeffs: fvm.StencilCoeffs,       # f64, arrays (B, ny, nx)
+    spec: BoundaryFluxSpec,
+    x0: jax.Array,                   # (B, ny, nx) f64
+    *,
+    omega: float = 0.0,              # signature parity; unused
+    tol: float = 1e-8,
+    max_iter: int = 8,               # outer refinement steps
+    check_every: int = 0,            # signature parity; unused
+    criterion: str = "relresidual",  # outer criterion is always relresidual
+    inner_iters: int = 8_000,
+    inner_tol: float = 1e-6,
+) -> SolveResult:
+    """Batched iterative refinement: the whole image stack shares each outer
+    step (one fused f64 matvec + one batched f32 inner PCG with per-image
+    freezing); converged images stop updating (masked outer correction).
+
+    All helper ops (equilibrate, apply_operator, run_pcg) operate on the
+    trailing two dims, so the structure mirrors :func:`solve_cgir` with
+    per-image scales.
+    """
+    if x0.dtype != jnp.float64:
+        raise ValueError("solve_cgir_batched needs f64 inputs (jax_enable_x64)")
+
+    c32 = jax.tree.map(lambda a: a.astype(jnp.float32), coeffs)
+    c32_eq, s_eq = fvm.equilibrate(c32)
+    bscale64 = _mean_abs(coeffs.b)                  # (B,)
+
+    def inner_solve(rhat32):
+        b_eq = rhat32 * s_eq
+        zero = jnp.zeros_like(rhat32)
+        res = run_pcg(
+            matvec=lambda p: fvm.apply_operator(c32_eq, p),
+            precond=lambda r: r,
+            b=b_eq, x0=zero,
+            deff_fn=lambda y: _mean_abs(y),         # placeholder monitor (unused)
+            tol=inner_tol, max_iter=inner_iters, check_every=100,
+            criterion="relresidual", grid_ndim=2, batched=True,
+        )
+        return res.x * s_eq
+
+    def cond(c):
+        x, it, rel, outers = c
+        return (it < max_iter) & jnp.any(rel > tol)
+
+    def body(c):
+        x, it, rel, outers = c
+        active = rel > tol                          # (B,)
+        r64 = coeffs.b - fvm.apply_operator(coeffs, x)
+        scale = jnp.max(jnp.abs(r64), axis=(-2, -1))
+        safe = jnp.where(scale > 0, scale, 1.0)[:, None, None]
+        rhat32 = (r64 / safe).astype(jnp.float32)
+        delta = inner_solve(rhat32).astype(jnp.float64)
+        x = jnp.where(active[:, None, None], x + safe * delta, x)
+        rel_new = _mean_abs(coeffs.b - fvm.apply_operator(coeffs, x)) / bscale64
+        rel = jnp.where(active, rel_new, rel)
+        outers = outers + jnp.where(active, 1, 0)
+        return (x, it + 1, rel, outers)
+
+    rel0 = _mean_abs(coeffs.b - fvm.apply_operator(coeffs, x0)) / bscale64
+    outers0 = jnp.zeros((x0.shape[0],), jnp.int32)
+    x, _, rel, outers = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), rel0, outers0))
     return SolveResult(x=x, deff=boundary_deff(spec, x), conv=rel, iters=outers)

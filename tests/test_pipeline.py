@@ -148,6 +148,30 @@ class TestBatch:
         batch_sim(cfg, imgs=imgs)
         assert len((tmp_path / "batch.csv").read_text().splitlines()) == n_lines
 
+    def test_batch_resume_mixed_shapes_no_skip(self, tmp_path):
+        """Interruption after a later-indexed shape group completed: resume
+        must still solve the earlier-indexed images (round-1 verdict #6 —
+        max+1 resume skipped them)."""
+        # groups are shape-sorted: (16,16) -> [1], then (24,24) -> [0, 2]
+        imgs = [parallel_slab(24, 0.5), parallel_slab(16, 0.25), parallel_slab(24, 0.75)]
+        cfg = SimulationConfig(
+            n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+            convergence=1e-6, max_iter=100_000, check_every=200,
+            dtype="float64", criterion="residual",
+            output_name=str(tmp_path / "batch.csv"), num_images=3,
+        )
+        # simulate a run killed after the first (smaller-shape) group: only
+        # image 1's row is on disk
+        w = writers.IncrementalBatchWriter(cfg.output_name)
+        w.write_row((1, 0.25, 1, 0.325, 0.1, 256, 1e-7, 0.1, 1.0))
+
+        out = batch_sim(cfg, imgs=imgs)
+        lines = (tmp_path / "batch.csv").read_text().splitlines()
+        data = [l for l in lines if l.split(",")[0].isdigit()]
+        assert sorted(int(l.split(",")[0]) for l in data) == [0, 1, 2]
+        np.testing.assert_allclose(out[0, 3], 0.55, rtol=1e-3)
+        np.testing.assert_allclose(out[2, 3], 0.775, rtol=1e-3)
+
     def test_batch_mixed_shapes_grouped(self, tmp_path):
         imgs = [parallel_slab(16, 0.5), parallel_slab(24, 0.5), parallel_slab(16, 0.25)]
         cfg = SimulationConfig(
@@ -218,3 +242,64 @@ class TestDCGPipeline:
         res = single_sim_3phase(cfg, img=img, write_output=False)
         expected = 0.5 * 1.0 + 0.25 * 200.0
         np.testing.assert_allclose(res.deff, expected, rtol=1e-5)
+
+    def test_batched_dcg_matches_single(self, tmp_path):
+        """Round-1 verdict #4: solver='dcg' in batch mode used to raise
+        ValueError through dispatch.  Per-image deflation spaces in one
+        vmapped solve must reproduce the solo results."""
+        from effectivediffusivityfvm_tpu.io.images import three_phase_parallel_slab
+        from effectivediffusivityfvm_tpu.pipeline.batch import batch_sim_3phase
+
+        imgs = [three_phase_parallel_slab(32, svf=0.25, lvf=0.5),
+                three_phase_parallel_slab(32, svf=0.125, lvf=0.25)]
+        cfg = SimulationConfig(
+            n_phase=3, batch_flag=True, d_fluid=1.0, d_solid=0.0, d_gas=200.0,
+            convergence=1e-8, max_iter=50_000, check_every=100,
+            dtype="float64", criterion="relresidual", solver="dcg",
+            output_name=str(tmp_path / "b3.csv"), num_images=2,
+        )
+        out = batch_sim_3phase(cfg, imgs=imgs)
+        singles = []
+        for img in imgs:
+            c1 = SimulationConfig(
+                n_phase=3, d_fluid=1.0, d_solid=0.0, d_gas=200.0,
+                convergence=1e-8, max_iter=50_000, check_every=100,
+                dtype="float64", criterion="relresidual", solver="dcg",
+            )
+            singles.append(single_sim_3phase(c1, img=img, write_output=False).deff)
+        np.testing.assert_allclose(out[:, 4], singles, rtol=1e-9)
+
+
+class TestBatchedCGIR:
+    def test_batched_cgir_matches_single(self):
+        """Round-1 verdict #4: batched cgir raised NotImplementedError."""
+        import jax.numpy as jnp
+
+        from effectivediffusivityfvm_tpu.models import phases
+        from effectivediffusivityfvm_tpu.ops import fvm
+        from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+        from effectivediffusivityfvm_tpu.solvers.refine import (
+            solve_cgir, solve_cgir_batched)
+
+        rng = np.random.default_rng(7)
+        imgs = (rng.random((3, 24, 24)) < 0.45).astype(np.uint8) * 255
+        classes = np.stack([phases.two_phase_classes(im) for im in imgs])
+        d = jnp.asarray(
+            phases.d_field_from_classes(classes, 1.0, 1e-6, dtype=np.float64))
+        import jax
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(d, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(d, 0.0, 1.0)
+        x0 = jnp.broadcast_to(
+            jnp.arange(24, dtype=jnp.float64) / 24, (3, 24, 24))
+
+        batched = solve_cgir_batched(coeffs, spec, x0, tol=1e-10, max_iter=8)
+        for k in range(3):
+            one = solve_cgir(
+                jax.tree.map(lambda a, k=k: a[k], coeffs),
+                jax.tree.map(lambda a, k=k: a[k], spec),
+                x0[k], tol=1e-10, max_iter=8)
+            # same algorithm, same inner schedule -> same refinement quality
+            assert float(batched.conv[k]) < 1e-8
+            assert float(batched.conv[k]) < 10 * max(float(one.conv), 1e-16)
+            np.testing.assert_allclose(
+                float(batched.deff[k]), float(one.deff), rtol=1e-9)
