@@ -75,22 +75,38 @@ def run_single(
     criterion: str,
     deff_fn=None,
     resid_fn=None,
+    it0: int = 0,
+    deff0: float = 1.0,
+    deff_old0: float = 5.0,
 ) -> SolveResult:
     """``deff_fn``/``resid_fn`` override the convergence monitors (used by the
-    sharded solvers, whose reductions need a ``psum`` over the device mesh)."""
+    sharded solvers, whose reductions need a ``psum`` over the device mesh).
+
+    Protocol carry (segmented solves): ``it0`` is the GLOBAL sweep count
+    already executed before this call; checks stay on the global schedule
+    (sweeps 1, 1+N, 1+2N, ...), and ``deff0``/``deff_old0`` carry the monitor
+    state of the previous segment, so a run split into segments stops at
+    exactly the sweep where one continuous reference-protocol run would
+    (Deff2D.cuh:1171-1173 init dance + 1232-1275 window updates).  Valid when
+    each segment ends on a check boundary (every segment that executes at
+    least one full window does); ``max_iter`` is this call's sweep budget.
+    """
     deff_fn = deff_fn or (lambda x: boundary_deff(spec, x))
     resid_fn = resid_fn or (lambda x: fvm.residual(coeffs, x))
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
     bscale = jnp.mean(jnp.abs(coeffs.b)) if criterion == "relresidual" else None
+    end = it0 + max_iter
 
     def cond(c):
         x, it, deff, deff_old, pc, conv = c
-        return (it < max_iter) & (tol_ < jnp.abs(pc))
+        return (it < end) & (tol_ < jnp.abs(pc))
 
     def body(c):
         x, it, deff, deff_old, pc, conv = c
-        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        # distance to the next global check (== 1 at it == 0, == check_every
+        # on every later check boundary), clamped to this call's budget
+        k = jnp.minimum(check_every - ((it - 1) % check_every), end - it)
         x = jax.lax.fori_loop(0, k, lambda _, xc: sweep(xc), x)
         it_new = it + k
         do_check = ((it_new - 1) % check_every) == 0
@@ -112,14 +128,14 @@ def run_single(
 
     init = (
         x0,
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(1.0, dtype),
-        jnp.asarray(5.0, dtype),
+        jnp.asarray(it0, jnp.int32),
+        jnp.asarray(deff0, dtype),
+        jnp.asarray(deff_old0, dtype),
         jnp.asarray(100.0, dtype),
         jnp.asarray(100.0, dtype),
     )
     x, it, deff, _, _, conv = jax.lax.while_loop(cond, body, init)
-    return SolveResult(x=x, deff=deff, conv=conv, iters=it)
+    return SolveResult(x=x, deff=deff, conv=conv, iters=it - it0)
 
 
 def run_batched(
@@ -135,10 +151,15 @@ def run_batched(
     deff_fn=None,
     resid_fn=None,
     reduce_any_fn=None,
+    it0: int = 0,
+    deff0: float = 1.0,
+    deff_old0: float = 5.0,
 ) -> SolveResult:
     """``reduce_any_fn`` all-reduces the "any image still active" bool across
     a device mesh (sharded batches must keep a globally uniform trip count so
-    the halo collectives stay in lockstep); default is a local ``jnp.any``."""
+    the halo collectives stay in lockstep); default is a local ``jnp.any``.
+    ``it0``/``deff0``/``deff_old0`` are the segmented-solve protocol carry
+    (see run_single; ``deff0``/``deff_old0`` may be (B,) arrays)."""
     deff_fn = deff_fn or (lambda x: boundary_deff(spec, x))
     resid_fn = resid_fn or (lambda x: fvm.residual(coeffs, x))
     reduce_any_fn = reduce_any_fn or jnp.any
@@ -148,18 +169,19 @@ def run_batched(
     grid_axes = tuple(range(1, x0.ndim))
     bscale = (jnp.mean(jnp.abs(coeffs.b), axis=grid_axes)
               if criterion == "relresidual" else None)
+    end = it0 + max_iter
 
     def active_of(pc, it):
-        return (tol_ < jnp.abs(pc)) & (it < max_iter)
+        return (tol_ < jnp.abs(pc)) & (it < end)
 
     def cond(c):
         x, it, deff, deff_old, pc, conv, iters = c
-        return reduce_any_fn(active_of(pc, it)) & (it < max_iter)
+        return reduce_any_fn(active_of(pc, it)) & (it < end)
 
     def body(c):
         x, it, deff, deff_old, pc, conv, iters = c
         active = active_of(pc, it)
-        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        k = jnp.minimum(check_every - ((it - 1) % check_every), end - it)
 
         def one(_, xc):
             # expand (B,) activity over however many grid dims follow (2D/3D)
@@ -189,9 +211,9 @@ def run_batched(
 
     init = (
         x0,
-        jnp.asarray(0, jnp.int32),
-        jnp.full((bsz,), 1.0, dtype),
-        jnp.full((bsz,), 5.0, dtype),
+        jnp.asarray(it0, jnp.int32),
+        jnp.broadcast_to(jnp.asarray(deff0, dtype), (bsz,)),
+        jnp.broadcast_to(jnp.asarray(deff_old0, dtype), (bsz,)),
         jnp.full((bsz,), 100.0, dtype),
         jnp.full((bsz,), 100.0, dtype),
         jnp.zeros((bsz,), jnp.int32),

@@ -43,14 +43,22 @@ def solve_jacobi(
     max_iter: int = 500_000,
     check_every: int = 0,
     criterion: str = "deff",
+    it0: int = 0,
+    deff0: float = 1.0,
+    deff_old0: float = 5.0,
 ) -> SolveResult:
-    """Solve one image to the reference stopping rule; fully on-device."""
+    """Solve one image to the reference stopping rule; fully on-device.
+
+    ``it0``/``deff0``/``deff_old0``: protocol carry for segmented solves
+    (see driver.run_single) — defaults reproduce the reference's fresh-start
+    init (Deff2D.cuh:1171-1173)."""
     omega = omega or 2.0 / 3.0
     check_every = driver.resolve_check_every(check_every, 10_000)
     return driver.run_single(
         lambda x: fvm.jacobi_sweep(coeffs, x, omega),
         coeffs, spec, x0,
         tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
+        it0=it0, deff0=deff0, deff_old0=deff_old0,
     )
 
 
@@ -68,6 +76,9 @@ def solve_jacobi_batched(
     max_iter: int = 500_000,
     check_every: int = 0,
     criterion: str = "deff",
+    it0: int = 0,
+    deff0: float = 1.0,
+    deff_old0: float = 5.0,
 ) -> SolveResult:
     """Batched solve with per-image convergence (the ML-datagen mode).
 
@@ -82,4 +93,5 @@ def solve_jacobi_batched(
         lambda x: fvm.jacobi_sweep(coeffs, x, omega),
         coeffs, spec, x0,
         tol=tol, max_iter=max_iter, check_every=check_every, criterion=criterion,
+        it0=it0, deff0=deff0, deff_old0=deff_old0,
     )

@@ -58,31 +58,66 @@ def load_state(path: str):
 
 
 def checkpointed_solve(solve_fn, coeffs, spec, x0, *, checkpoint_path: str,
-                       segment_iters: int, max_iter: int, **solve_kw):
+                       segment_iters: int, max_iter: int,
+                       protocol_carry: bool = False, **solve_kw):
     """Run ``solve_fn`` in segments of ``segment_iters``, checkpointing the
     field after each segment; resumes from an existing checkpoint.
 
     ``solve_fn`` is any framework solver (same signature family).  Returns
     the final SolveResult with ``iters`` counting all segments (including
     previously checkpointed ones).
+
+    ``protocol_carry=True`` (sweep solvers with ``criterion="deff"`` only)
+    threads the reference stopping protocol across segments: the global sweep
+    count and the deff/deff_old monitor state are carried (driver.run_single
+    docstring), so the segmented run stops at exactly the sweep where one
+    continuous reference-protocol run would — this is how a long solve on a
+    relay-limited TPU reproduces the CUDA binary's protocol Deff.  Requires
+    ``segment_iters >= check_every`` so every segment lands on a check.
     """
     done = 0
+    carry = {}
     state = load_state(checkpoint_path)
     if state is not None:
-        x_saved, done, _ = state
+        x_saved, done, meta = state
         import jax.numpy as jnp
 
         x0 = jnp.asarray(x_saved, dtype=x0.dtype)
+        if protocol_carry and "deff" in meta:
+            carry = {"deff0": float(meta["deff"]),
+                     "deff_old0": float(meta["deff_old"])}
+        if meta.get("converged") or (done >= max_iter and "deff" in meta):
+            # the checkpoint IS the finished solve; re-running sweeps from a
+            # converged field would shift the protocol Deff
+            from ..solvers.driver import SolveResult
+
+            return SolveResult(
+                x=x0, deff=np.asarray(meta.get("deff", np.nan)),
+                conv=np.asarray(meta.get("conv", np.nan)),
+                iters=np.asarray(done, np.int32))
 
     res = None
     while done < max_iter:
         seg = min(segment_iters, max_iter - done)
-        res = solve_fn(coeffs, spec, x0, max_iter=seg, **solve_kw)
-        total = done + int(np.max(np.asarray(res.iters)))
-        save_state(checkpoint_path, res.x, total)
+        kw = dict(solve_kw)
+        if protocol_carry:
+            kw.update(it0=done, **carry)
+        res = solve_fn(coeffs, spec, x0, max_iter=seg, **kw)
+        seg_iters = int(np.max(np.asarray(res.iters)))
+        total = done + seg_iters
+        converged = seg_iters < seg
+        # at any check the reference sets deff_old = deff = deff_new
+        # (Deff2D.cuh:1263-1275); segments end on checks, so both carry the
+        # same value
+        d = float(np.max(np.asarray(res.deff)))
+        if protocol_carry:
+            carry = {"deff0": d, "deff_old0": d}
+        meta = {"deff": d, "deff_old": d, "conv": float(np.max(np.asarray(res.conv))),
+                "converged": int(converged)}
+        save_state(checkpoint_path, res.x, total, meta=meta)
         x0 = res.x
         # converged before exhausting the segment -> stop
-        if int(np.max(np.asarray(res.iters))) < seg:
+        if converged:
             done = total
             break
         done += seg

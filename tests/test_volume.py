@@ -135,6 +135,44 @@ class TestCheckpoint:
                                   max_iter=100_000, **kw)
         np.testing.assert_allclose(float(res2.deff), float(ref.deff), rtol=1e-8)
 
+    def test_protocol_carry_matches_unsegmented(self, tmp_path, rng):
+        """Round-1 verdict #8: with protocol_carry, a segmented
+        reference-protocol (criterion='deff') Jacobi run must stop at exactly
+        the sweep where one continuous run stops — same iters, same Deff,
+        same field."""
+        import jax.numpy as jnp
+
+        from effectivediffusivityfvm_tpu.ops import fvm
+        from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+        from effectivediffusivityfvm_tpu.solvers.jacobi import solve_jacobi
+        from effectivediffusivityfvm_tpu.utils.checkpoint import checkpointed_solve
+
+        d = np.where(rng.random((16, 16)) < 0.5, 1.0, 0.05)
+        dj = jnp.asarray(d)
+        c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+        spec = make_flux_spec(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(16, dtype=jnp.float64) / 16, (16, 16))
+        kw = dict(tol=1e-7, check_every=50, criterion="deff")
+
+        ref = solve_jacobi(c, spec, x0, max_iter=100_000, **kw)
+        assert 50 < int(ref.iters) < 100_000  # stops at a mid-run check
+
+        seg = checkpointed_solve(
+            solve_jacobi, c, spec, x0,
+            checkpoint_path=str(tmp_path / "pc.npz"),
+            segment_iters=151, max_iter=100_000, protocol_carry=True, **kw)
+        assert int(seg.iters) == int(ref.iters)
+        np.testing.assert_allclose(float(seg.deff), float(ref.deff), rtol=0)
+        np.testing.assert_array_equal(np.asarray(seg.x), np.asarray(ref.x))
+
+        # kill-and-resume: a fresh call against the same checkpoint finishes
+        # with the same protocol state
+        seg2 = checkpointed_solve(
+            solve_jacobi, c, spec, x0,
+            checkpoint_path=str(tmp_path / "pc.npz"),
+            segment_iters=151, max_iter=100_000, protocol_carry=True, **kw)
+        np.testing.assert_allclose(float(seg2.deff), float(ref.deff), rtol=0)
+
 
 class TestManifest:
     def test_manifest_roundtrip(self, tmp_path):
