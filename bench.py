@@ -84,10 +84,13 @@ def main():
 
     coeffs, spec, x0 = build_problem(BATCH, SIZE, jnp.float32)
 
-    # min_size/coarse_iters: large-grid tuning (see multigrid.py docstring;
-    # +24% at this scale vs the small-grid-robust defaults)
+    # Tuned for the fused whole-V-cycle Pallas preconditioner (round 2):
+    # V(2,2) — extra smooths are free once the hierarchy is VMEM-resident —
+    # with the round-1 over-correction factor.  Measured ladder at this
+    # scale: 82 solves/s (XLA V(1,1)) -> 155 (fused V(1,1)) -> 262 (fused
+    # V(2,2), min_size=16/coarse_iters=32).
     kw = dict(tol=TOL, max_iter=3_000, check_every=10, criterion="residual",
-              min_size=32, coarse_iters=64)
+              min_size=16, coarse_iters=32, nu1=2, nu2=2, over=1.8)
 
     # warmup: compile + one full solve
     t0 = time.perf_counter()
@@ -113,10 +116,11 @@ def main():
     deff = np.asarray(res.deff)
     print(f"deff range: {deff.min():.4f}..{deff.max():.4f}", file=sys.stderr)
 
-    # effective HBM traffic estimate: ~40 fine-plane-equivalents per MGCG
-    # iteration (CG matvec ~8, V(1,1) cycle: 2 smooths ~12, cycle residual ~7,
-    # transfers ~3, coarse levels ~x4/3 on the subtotal)
-    planes_per_iter = 40
+    # effective HBM traffic estimate per MGCG iteration with the fused
+    # whole-V-cycle kernel: CG matvec ~7, fused cycle ~6 (read 4-plane-equiv
+    # pyramid + r, write z), CG vector algebra ~9, true-residual checks
+    # amortized ~2
+    planes_per_iter = 24
     total_iters = int(np.sum(np.asarray(res.iters)))
     traffic = total_iters / BATCH * planes_per_iter * SIZE * SIZE * 4 * BATCH
     print(f"effective traffic ~{traffic / best / 1e9:.0f} GB/s "

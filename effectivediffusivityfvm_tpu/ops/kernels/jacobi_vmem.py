@@ -37,7 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
 
-__all__ = ["jacobi_sweeps_pallas"]
+__all__ = ["jacobi_sweeps_pallas", "jacobi_fits_vmem"]
+
+
+def jacobi_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
+    """Size guard: 5 double-buffered input planes + 2 output buffers + ~3
+    planes of roll temporaries must fit the ~128 MB physical VMEM (the 16 MB
+    scoped default is raised below).  Callers fall back to the XLA sweep
+    beyond this (solvers/jacobi_pallas.py)."""
+    return 15 * ny * nx * itemsize < 100 * 1024 * 1024
 
 
 def _kernel(k_ref, aw, an, dinv, b, x_in, x_out, *, omega):
@@ -78,10 +86,14 @@ def jacobi_sweeps_pallas(coeffs: StencilCoeffs, x: jax.Array, k: jax.Array,
         out_specs=img_spec,
     )
     kernel = functools.partial(_kernel, omega=omega)
+    params = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(15 * ny * nx * 4 + (1 << 20), 100 << 20))}
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        **params,
     )(jnp.asarray(k, jnp.int32).reshape(1),
       coeffs.a_w, coeffs.a_n, coeffs.diag_inv, coeffs.b, x)

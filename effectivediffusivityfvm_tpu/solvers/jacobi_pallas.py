@@ -57,10 +57,18 @@ def solve_jacobi_pallas_batched(coeffs, spec, x0, *, omega: float = 2.0 / 3.0,
                                 tol: float = 1e-5, max_iter: int = 500_000,
                                 check_every: int = 0,
                                 criterion: str = "deff") -> SolveResult:
-    from ..ops.kernels.jacobi_vmem import jacobi_sweeps_pallas
+    from ..ops.kernels.jacobi_vmem import jacobi_fits_vmem, jacobi_sweeps_pallas
 
     if criterion not in ("deff", "residual", "relresidual"):
         raise ValueError(f"unknown criterion {criterion!r}")
+    if not jacobi_fits_vmem(x0.shape[-2], x0.shape[-1]):
+        # size guard (round-1 verdict #3c): images beyond the VMEM budget
+        # fall back to the fused XLA sweep instead of failing to compile
+        from .jacobi import solve_jacobi_batched
+
+        return solve_jacobi_batched(coeffs, spec, x0, omega=omega, tol=tol,
+                                    max_iter=max_iter, check_every=check_every,
+                                    criterion=criterion)
     from .driver import resolve_check_every
     check_every = resolve_check_every(check_every, 10_000)
     omega = omega or 2.0 / 3.0

@@ -134,11 +134,21 @@ def coarsen(c: fvm.StencilCoeffs) -> fvm.StencilCoeffs:
     return fvm.StencilCoeffs(a_w_c, a_e_c, a_n_c, a_s_c, diag_c, diag_inv, b_c)
 
 
-def build_hierarchy(c: fvm.StencilCoeffs, min_size: int = 8) -> List[fvm.StencilCoeffs]:
-    """Fine-to-coarse operator list; stops when both dims <= min_size."""
+def build_hierarchy(c: fvm.StencilCoeffs, min_size: int = 8,
+                    pad_levels: bool = False) -> List[fvm.StencilCoeffs]:
+    """Fine-to-coarse operator list; stops when both dims <= min_size.
+
+    ``pad_levels=True`` stores every level pre-padded to even dims (decoupled
+    identity rows, same as the padding ``coarsen`` applies internally), which
+    the fused Pallas V-cycle kernel requires; the XLA cycle accepts either.
+    """
+    if pad_levels:
+        c = _pad_even(c)
     levels = [c]
     while min(c.diag.shape[-2], c.diag.shape[-1]) > min_size:
         c = coarsen(c)
+        if pad_levels:
+            c = _pad_even(c)
         levels.append(c)
     return levels
 
@@ -204,13 +214,54 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
     return e[..., :r.shape[-2], :r.shape[-1]]
 
 
-def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
-               batched, nu1, nu2, omega, coarse_iters, min_size, over):
-    levels = build_hierarchy(coeffs, min_size=min_size)
 
-    def precond(r):
-        return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
-                       coarse_iters=coarse_iters, over=over)
+
+def _pallas_auto(coeffs, nu1, nu2, min_size) -> bool:
+    """Default ON for the fused Pallas V-cycle: real TPU, fp32, the V(1,1)
+    shape the kernel implements, and a fine level that fits VMEM."""
+    import jax as _jax
+
+    from ..ops.kernels.vcycle_vmem import vcycle_fits_vmem
+
+    if _jax.default_backend() != "tpu" or nu1 != nu2 or nu1 > 4:
+        return False
+    if coeffs.diag.dtype != jnp.float32:
+        return False
+    ny, nx = coeffs.diag.shape[-2], coeffs.diag.shape[-1]
+    return vcycle_fits_vmem(ny + ny % 2, nx + nx % 2)
+
+
+def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
+               batched, nu1, nu2, omega, coarse_iters, min_size, over,
+               use_pallas=None, pallas_interpret=False):
+    if use_pallas is None:
+        use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
+
+    if use_pallas:
+        from ..ops.kernels.vcycle_vmem import v_cycle_pallas
+
+        hier_coeffs = coeffs if batched else jax.tree.map(
+            lambda a: a[None], coeffs)
+        levels = build_hierarchy(hier_coeffs, min_size=min_size,
+                                 pad_levels=True)
+        ny, nx = coeffs.diag.shape[-2], coeffs.diag.shape[-1]
+        py, px = levels[0].diag.shape[-2], levels[0].diag.shape[-1]
+
+        def precond(r):
+            rb = r if batched else r[None]
+            if (py, px) != (ny, nx):
+                rb = jnp.pad(rb, [(0, 0), (0, py - ny), (0, px - nx)])
+            z = v_cycle_pallas(levels, rb, omega=omega,
+                               coarse_iters=coarse_iters, over=over, nu=nu1,
+                               interpret=pallas_interpret)
+            z = z[..., :ny, :nx]
+            return z if batched else z[0]
+    else:
+        levels = build_hierarchy(coeffs, min_size=min_size)
+
+        def precond(r):
+            return v_cycle(levels, r, nu1=nu1, nu2=nu2, omega=omega,
+                           coarse_iters=coarse_iters, over=over)
 
     return run_pcg(
         matvec=lambda p: fvm.apply_operator(coeffs, p),
@@ -226,33 +277,45 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
-                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
+                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over",
+                     "use_pallas", "pallas_interpret"),
 )
 def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                max_iter: int = 10_000, check_every: int = 0,
                criterion: str = "residual", nu1: int = 1, nu2: int = 1,
                mg_omega: float = 0.8, coarse_iters: int = 32,
-               min_size: int = 8, over: float = 1.8) -> SolveResult:
+               min_size: int = 8, over: float = 1.8,
+               use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
     """Multigrid-preconditioned CG, single image.  ``omega`` ignored
-    (signature parity)."""
+    (signature parity).
+
+    ``use_pallas``: None = auto (fused whole-V-cycle Pallas kernel on TPU
+    fp32 V(1,1) when the hierarchy fits VMEM; ops/kernels/vcycle_vmem.py —
+    requires the symmetric assembly, which every pipeline provides via
+    needs_spd); True/False forces.  ``pallas_interpret`` runs the kernel in
+    interpreter mode (CPU tests)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,
-                      coarse_iters=coarse_iters, min_size=min_size, over=over)
+                      coarse_iters=coarse_iters, min_size=min_size, over=over,
+                      use_pallas=use_pallas, pallas_interpret=pallas_interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
-                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
+                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over",
+                     "use_pallas", "pallas_interpret"),
 )
 def solve_mgcg_batched(coeffs, spec, x0, *, omega: float = 0.0,
                        tol: float = 1e-8, max_iter: int = 10_000,
                        check_every: int = 0, criterion: str = "residual",
                        nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
                        coarse_iters: int = 32, min_size: int = 8,
-                       over: float = 1.8) -> SolveResult:
+                       over: float = 1.8,
+                       use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=True, nu1=nu1, nu2=nu2, omega=mg_omega,
-                      coarse_iters=coarse_iters, min_size=min_size, over=over)
+                      coarse_iters=coarse_iters, min_size=min_size, over=over,
+                      use_pallas=use_pallas, pallas_interpret=pallas_interpret)

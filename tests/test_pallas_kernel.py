@@ -69,3 +69,92 @@ def test_single_image_wrapper(rng):
     got = solve_jacobi_pallas(single_coeffs, single_spec, x0[0], **kw)
     assert int(got.iters) == int(ref.iters)
     np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-10)
+
+
+class TestFusedVCycle:
+    """Whole-hierarchy Pallas V-cycle (ops/kernels/vcycle_vmem.py)."""
+
+    @pytest.mark.parametrize("shape", [(64, 64), (48, 80), (37, 53)])
+    def test_cycle_matches_xla(self, rng, shape):
+        from effectivediffusivityfvm_tpu.ops.kernels.vcycle_vmem import v_cycle_pallas
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            build_hierarchy, v_cycle)
+
+        ny, nx = shape
+        d = jnp.asarray(
+            np.where(rng.random((ny, nx)) < 0.5, 1.0, 1e-4), jnp.float32)
+        c = fvm.fvm_coefficients(d, 0.0, 1.0)
+        r = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+
+        z_ref = v_cycle(build_hierarchy(c, min_size=8), r,
+                        nu1=1, nu2=1, omega=0.8, coarse_iters=16, over=1.8)
+
+        lv = build_hierarchy(jax.tree.map(lambda a: a[None], c),
+                             min_size=8, pad_levels=True)
+        py, px = lv[0].diag.shape[-2:]
+        rb = jnp.pad(r[None], [(0, 0), (0, py - ny), (0, px - nx)])
+        z = v_cycle_pallas(lv, rb, omega=0.8, coarse_iters=16, over=1.8,
+                           interpret=True)[0, :ny, :nx]
+        scale = float(jnp.max(jnp.abs(z_ref)))
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                                   atol=1e-5 * scale)
+
+    def test_mgcg_solution_matches_xla_path(self, rng):
+        """Full batched MGCG solve with the fused preconditioner lands on the
+        same solution as the XLA preconditioner (both converge the true
+        residual below tol; the preconditioners differ only in rounding)."""
+        from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg_batched
+
+        d = np.where(rng.random((2, 48, 48)) < 0.5, 1.0, 1e-4).astype(np.float32)
+        dj = jnp.asarray(d)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(
+            jnp.arange(48, dtype=jnp.float32) / 48, (2, 48, 48))
+        kw = dict(tol=1e-7, max_iter=2000, check_every=10, criterion="residual")
+        ref = solve_mgcg_batched(coeffs, spec, x0, use_pallas=False, **kw)
+        got = solve_mgcg_batched(coeffs, spec, x0, use_pallas=True,
+                                 pallas_interpret=True, nu1=2, nu2=2, **kw)
+        assert np.asarray(got.conv).max() < 1e-7
+        # residual tol 1e-7 pins Deff to ~1e-3 relative on this tiny-flux
+        # contrast-1e4 medium; the two preconditioners land within that band
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic smoke test needs real TPU")
+class TestTPUSmoke:
+    """Opt-in Mosaic regression smoke (round-1 verdict #10): compiled kernels
+    vs the XLA ops on a real chip.  Auto-skipped on the CPU test backend; run
+    via the verify recipe with JAX_PLATFORMS unset."""
+
+    def test_jacobi_kernel_compiled(self):
+        rng = np.random.default_rng(0)
+        d = jnp.asarray(
+            np.where(rng.random((1, 256, 256)) < 0.6, 1.0, 1e-3), jnp.float32)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(d, 0.0, 1.0)
+        x0 = jnp.zeros((1, 256, 256), jnp.float32)
+        xk = jacobi_sweeps_pallas(coeffs, x0, 5, interpret=False)
+        xs = x0
+        for _ in range(5):
+            xs = fvm.jacobi_sweep(coeffs, xs, 2.0 / 3.0)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xs),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_vcycle_kernel_compiled(self):
+        from effectivediffusivityfvm_tpu.ops.kernels.vcycle_vmem import v_cycle_pallas
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            build_hierarchy, v_cycle)
+
+        rng = np.random.default_rng(1)
+        d = jnp.asarray(
+            np.where(rng.random((1, 256, 256)) < 0.6, 1.0, 1e-3), jnp.float32)
+        c = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(d, 0.0, 1.0)
+        r = jnp.asarray(rng.standard_normal((1, 256, 256)), jnp.float32)
+        lv = build_hierarchy(c, min_size=16, pad_levels=True)
+        z = v_cycle_pallas(lv, r, omega=0.8, coarse_iters=32, over=1.8)
+        z_ref = v_cycle(lv, r, nu1=1, nu2=1, omega=0.8, coarse_iters=32, over=1.8)
+        scale = float(jnp.max(jnp.abs(z_ref)))
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                                   atol=1e-4 * scale)
