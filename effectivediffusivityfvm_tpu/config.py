@@ -63,6 +63,15 @@ class SimulationConfig:
                                       #   (fixes reference all-or-nothing, PDF §3.6)
     use_floodfill_native: bool = True # use the C++ preprocess library if built
     seed_both_boundaries: bool = True # flood-fill seeding intent (Deff2D.cuh:593-605)
+    devices: int = 1                  # devices for the pipeline mesh: 1 = single
+                                      #   device (default), -1 = all visible,
+                                      #   n = first n.  SURVEY §2.6: dp is the
+                                      #   primary throughput axis on a v5e-8.
+    dp: int = 0                       # data-parallel mesh extent; 0 = devices//sp
+    sp: int = 1                       # spatial (row-sharded) mesh extent; >1
+                                      #   routes through the halo solvers
+                                      #   (parallel/halo.py) — sweep solvers only
+                                      #   in batch mode
 
     @property
     def np_dtype(self):
@@ -78,6 +87,21 @@ class SimulationConfig:
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.criterion not in ("deff", "residual", "relresidual"):
             raise ValueError(f"unknown criterion {self.criterion!r}")
+        if self.devices == 0 or self.devices < -1:
+            raise ValueError(f"Devices must be -1 (all) or >= 1, got {self.devices}")
+        if self.dp < 0 or self.sp < 1:
+            raise ValueError(f"need dp >= 0 and sp >= 1, got dp={self.dp} sp={self.sp}")
+
+    def resolve_mesh_shape(self, n_visible: int) -> tuple:
+        """Resolve (n_devices, dp, sp) against the visible device count."""
+        n = n_visible if self.devices == -1 else self.devices
+        if n > n_visible:
+            raise ValueError(f"Devices: {n} requested, {n_visible} visible")
+        sp = self.sp
+        dp = self.dp if self.dp else max(n // sp, 1)
+        if dp * sp != n:
+            raise ValueError(f"dp*sp = {dp}*{sp} != Devices = {n}")
+        return n, dp, sp
 
 
 # key in input.txt -> (field name, converter)
@@ -107,6 +131,9 @@ _KEYMAP = {
     "Criterion:": ("criterion", str),
     "ImageDir:": ("image_dir", str),
     "BatchSize:": ("batch_size", lambda v: int(float(v))),
+    "Devices:": ("devices", lambda v: int(float(v))),
+    "DP:": ("dp", lambda v: int(float(v))),
+    "SP:": ("sp", lambda v: int(float(v))),
 }
 
 

@@ -47,6 +47,112 @@ from .single import dcg_stages, _linear_init
 __all__ = ["batch_sim", "batch_sim_3phase", "solve_image_group", "solve_image_group_3phase"]
 
 
+# ---------------------------------------------------------------------------
+# Multi-device placement (SURVEY §2.6 DP row; VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+def _pipeline_mesh(cfg: SimulationConfig):
+    """Resolve the pipeline's ``(dp, sp)`` mesh, or ``None`` for single-device.
+
+    ``cfg.devices`` (input.txt key ``Devices:``) selects how many devices the
+    batch pipelines spread over; images within a shape group are sharded along
+    the batch axis (dp) and optionally by rows (sp, sweep solvers only).
+    """
+    if cfg.devices == 1 and cfg.sp == 1 and cfg.dp in (0, 1):
+        return None
+    n, dp, sp = cfg.resolve_mesh_shape(len(jax.devices()))
+    if n == 1:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(n, dp=dp, sp=sp)
+
+
+def _pad_batch(tree, mult: int):
+    """Edge-pad every leaf's batch axis to a multiple of ``mult`` (padded
+    entries are copies of the last image: they solve identically and are
+    dropped on the way out)."""
+    bsz = jax.tree.leaves(tree)[0].shape[0]
+    pad = (-bsz) % mult
+    if pad == 0:
+        return tree, bsz
+
+    def pad_one(a):
+        reps = jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])
+        return jnp.concatenate([a, reps], axis=0)
+
+    return jax.tree.map(pad_one, tree), bsz
+
+
+def _dp_shard(mesh, tree):
+    """Place a batch-leading pytree with the batch axis split over ``dp``
+    (all other axes replicated); XLA propagates the sharding through the
+    whole compiled solve — the idiomatic JAX data-parallel path."""
+    from ..parallel.mesh import NamedSharding, P
+
+    def put(a):
+        spec = P("dp", *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
+                         gas_np=None):
+    """Run one shape group's batched solve on the pipeline mesh.
+
+    sp == 1: pure data parallelism — inputs are dp-sharded and the regular
+    batched solver runs SPMD (per-image freezing and reductions are
+    per-image, so results are bitwise identical to the single-device run).
+    sp > 1: rows additionally sharded via the halo solvers (sweep solvers).
+    """
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    (coeffs, spec, x0), bsz = _pad_batch((coeffs, spec, x0), dp)
+
+    if sp > 1:
+        if cfg.solver != "jacobi":
+            raise ValueError(
+                f"SP: {sp} in batch mode supports solver=jacobi (halo sweep); "
+                f"got {cfg.solver!r} — use SP: 1 (pure dp) for Krylov solvers")
+        from ..parallel.halo import sharded_solve_jacobi
+
+        ny = x0.shape[-2]
+        if ny % sp:
+            raise ValueError(f"image rows ({ny}) must divide SP ({sp})")
+        res = sharded_solve_jacobi(
+            coeffs, spec, x0, mesh, omega=cfg.omega or 2.0 / 3.0, tol=tol,
+            max_iter=max_iter,
+            check_every=cfg.check_every or 10_000, criterion=cfg.criterion)
+    else:
+        coeffs, spec, x0 = _dp_shard(mesh, (coeffs, spec, x0))
+        kw = {}
+        if cfg.solver == "mgcg":
+            # pallas_call does not shard under jit's propagation; keep the
+            # XLA V-cycle on multi-device runs
+            kw["use_pallas"] = False
+        if cfg.solver == "jacobi_pallas":
+            raise ValueError("jacobi_pallas does not run on a pipeline mesh; "
+                             "use solver=jacobi or mgcg with Devices > 1")
+        if cfg.solver == "dcg":
+            from ..solvers.deflation import solve_dcg_batched
+
+            members = None
+            if gas_np is not None:
+                pad = x0.shape[0] - bsz
+                members = np.concatenate(
+                    [gas_np, np.repeat(gas_np[-1:], pad, axis=0)]) if pad else gas_np
+            res = solve_dcg_batched(coeffs, spec, x0, tol=tol,
+                                    max_iter=max_iter,
+                                    check_every=cfg.check_every,
+                                    members=members)
+        else:
+            res = solve_batched(
+                cfg.solver, coeffs, spec, x0,
+                omega=cfg.omega, tol=tol, max_iter=max_iter,
+                check_every=cfg.check_every, criterion=cfg.criterion, **kw)
+    return jax.tree.map(lambda a: a[:bsz] if a.ndim else a, res)
+
+
 _build_coeffs_batch = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))
 _build_coeffs_batch_masked = jax.vmap(
     fvm.fvm_coefficients, in_axes=(0, None, None, 0, None))
@@ -90,12 +196,17 @@ def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
     x0 = jnp.broadcast_to(
         _linear_init(ny, nx, cfg.c_left, cfg.c_right, dtype), (bsz, ny, nx)
     )
-    res, dt = time_fn(
-        solve_batched,
-        cfg.solver, coeffs, spec, x0,
-        omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
-        check_every=cfg.check_every, criterion=cfg.criterion,
-    )
+    mesh = _pipeline_mesh(cfg)
+    if mesh is not None:
+        res, dt = time_fn(_solve_group_on_mesh, cfg, mesh, coeffs, spec, x0,
+                          cfg.convergence, cfg.max_iter)
+    else:
+        res, dt = time_fn(
+            solve_batched,
+            cfg.solver, coeffs, spec, x0,
+            omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
+            check_every=cfg.check_every, criterion=cfg.criterion,
+        )
     deff = np.asarray(res.deff, np.float64) / cfg.d_fluid  # Deff2D.cuh:2017
     return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt
 
@@ -104,6 +215,10 @@ def _solve_batched_3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
     """3-phase batched stage solve: routes 'dcg' (needs per-image gas-component
     masks for its deflation spaces, mirroring pipeline/single._solve3p) or the
     regular dispatch."""
+    mesh = _pipeline_mesh(cfg)
+    if mesh is not None:
+        return _solve_group_on_mesh(cfg, mesh, coeffs, spec, x, tol, max_iter,
+                                    gas_np=gas_np)
     if cfg.solver == "dcg":
         from ..solvers.deflation import solve_dcg_batched
 

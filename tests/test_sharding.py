@@ -164,3 +164,75 @@ def test_sharded_mgcg_2d_equals_unsharded(rng):
     np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
                                rtol=1e-7, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device PIPELINES (VERDICT r1 item 5): batch_sim on a (dp, sp) mesh
+# produces the identical output table to the single-device run.
+# ---------------------------------------------------------------------------
+
+def _batch_cfg(tmp_path, **kw):
+    from effectivediffusivityfvm_tpu.config import SimulationConfig
+
+    base = dict(
+        n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+        convergence=1e-7, max_iter=300_000, check_every=200,
+        dtype="float64", criterion="residual",
+        output_name=str(tmp_path / "batch.csv"), num_images=3,
+        incremental_output=False,
+    )
+    base.update(kw)
+    return SimulationConfig(**base)
+
+
+def _run_batch(tmp_path, name, **kw):
+    from effectivediffusivityfvm_tpu.io.images import parallel_slab
+    from effectivediffusivityfvm_tpu.pipeline.batch import batch_sim
+
+    # mixed shapes + a group that does not divide dp=8 (exercises padding)
+    imgs = [parallel_slab(24, 0.25), parallel_slab(16, 0.5), parallel_slab(24, 0.75)]
+    cfg = _batch_cfg(tmp_path, output_name=str(tmp_path / name), **kw)
+    return batch_sim(cfg, imgs=imgs)
+
+
+@pytest.mark.parametrize("solver", ["jacobi", "mgcg"])
+def test_batch_sim_dp_mesh_identical(tmp_path, solver):
+    ref = _run_batch(tmp_path, "a.csv", solver=solver)
+    got = _run_batch(tmp_path, "b.csv", solver=solver, devices=8)
+    # all columns except Time (4) must match the single-device run exactly
+    cols = [0, 1, 2, 3, 5, 6, 7, 8]
+    np.testing.assert_allclose(got[:, cols], ref[:, cols], rtol=1e-12)
+
+
+def test_batch_sim_dp_sp_mesh_identical(tmp_path):
+    ref = _run_batch(tmp_path, "a.csv", solver="jacobi")
+    got = _run_batch(tmp_path, "b.csv", solver="jacobi", devices=8, dp=2, sp=4)
+    cols = [0, 1, 2, 3, 5, 7, 8]
+    np.testing.assert_allclose(got[:, cols], ref[:, cols], rtol=1e-12)
+    # conv: the row-sharded residual is a psum of per-shard sums, so the
+    # reduction order differs from the single-device sum in the last bits
+    np.testing.assert_allclose(got[:, 6], ref[:, 6], rtol=1e-9)
+
+
+def test_batch_sim_3phase_dp_mesh_identical(tmp_path):
+    from effectivediffusivityfvm_tpu.config import SimulationConfig
+    from effectivediffusivityfvm_tpu.io.images import three_phase_parallel_slab
+    from effectivediffusivityfvm_tpu.pipeline.batch import batch_sim_3phase
+
+    imgs = [three_phase_parallel_slab(24, svf=0.25, lvf=0.5),
+            three_phase_parallel_slab(24, svf=0.25, lvf=0.25),
+            three_phase_parallel_slab(24, svf=0.5, lvf=0.25)]
+
+    def run(name, **kw):
+        cfg = SimulationConfig(
+            n_phase=3, batch_flag=True, d_fluid=1.0, d_solid=0.0, d_gas=100.0,
+            convergence=1e-8, max_iter=200_000, check_every=100,
+            dtype="float64", criterion="residual", solver="mgcg",
+            output_name=str(tmp_path / name), num_images=3,
+            incremental_output=False, **kw)
+        return batch_sim_3phase(cfg, imgs=imgs)
+
+    ref = run("a.csv")
+    got = run("b.csv", devices=8)
+    cols = [0, 1, 2, 3, 4, 6, 7, 8, 9, 10]   # all but Time (5)
+    np.testing.assert_allclose(got[:, cols], ref[:, cols], rtol=1e-12)
