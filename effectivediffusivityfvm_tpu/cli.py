@@ -32,6 +32,14 @@ def main(argv=None) -> int:
     if cfg.verbose:
         print(format_options(cfg))
 
+    if cfg.dtype == "float64":
+        # Dtype: float64 needs x64 enabled before any array is created, or
+        # JAX silently downcasts every field to f32 (and the f64 solvers
+        # cgir/dmg refuse to run).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     try:
         return _dispatch(cfg)
     except FileNotFoundError as e:

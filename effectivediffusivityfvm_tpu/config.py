@@ -83,8 +83,13 @@ class SimulationConfig:
         if self.mesh_amp_x < 1 or self.mesh_amp_y < 1:
             # reference: Deff2D.cuh:1672-1675
             raise ValueError("MeshAmp has to be an integer >= 1")
-        if self.solver not in ("jacobi", "rbsor", "cg", "mgcg", "cgir", "dcg", "jacobi_pallas"):
+        if self.solver not in ("jacobi", "rbsor", "cg", "mgcg", "cgir", "dcg",
+                               "dmg", "jacobi_pallas"):
             raise ValueError(f"unknown solver {self.solver!r}")
+        if self.solver in ("cgir", "dmg") and self.dtype != "float64":
+            raise ValueError(
+                f"solver {self.solver!r} runs f64 outer arithmetic; "
+                "set Dtype: float64")
         if self.criterion not in ("deff", "residual", "relresidual"):
             raise ValueError(f"unknown criterion {self.criterion!r}")
         if self.devices == 0 or self.devices < -1:

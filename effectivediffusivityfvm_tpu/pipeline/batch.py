@@ -133,18 +133,21 @@ def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
         if cfg.solver == "jacobi_pallas":
             raise ValueError("jacobi_pallas does not run on a pipeline mesh; "
                              "use solver=jacobi or mgcg with Devices > 1")
-        if cfg.solver == "dcg":
-            from ..solvers.deflation import solve_dcg_batched
-
+        if cfg.solver in ("dcg", "dmg"):
             members = None
             if gas_np is not None:
                 pad = x0.shape[0] - bsz
                 members = np.concatenate(
                     [gas_np, np.repeat(gas_np[-1:], pad, axis=0)]) if pad else gas_np
-            res = solve_dcg_batched(coeffs, spec, x0, tol=tol,
-                                    max_iter=max_iter,
-                                    check_every=cfg.check_every,
-                                    members=members)
+            if cfg.solver == "dmg":
+                from ..solvers.dmg import solve_dmg_batched as _defl_solve
+
+                kw["criterion"] = cfg.criterion
+            else:
+                from ..solvers.deflation import solve_dcg_batched as _defl_solve
+            res = _defl_solve(coeffs, spec, x0, tol=tol, max_iter=max_iter,
+                              check_every=cfg.check_every, members=members,
+                              **kw)
         else:
             res = solve_batched(
                 cfg.solver, coeffs, spec, x0,
@@ -219,6 +222,12 @@ def _solve_batched_3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
     if mesh is not None:
         return _solve_group_on_mesh(cfg, mesh, coeffs, spec, x, tol, max_iter,
                                     gas_np=gas_np)
+    if cfg.solver == "dmg":
+        from ..solvers.dmg import solve_dmg_batched
+
+        return solve_dmg_batched(coeffs, spec, x, tol=tol, max_iter=max_iter,
+                                 check_every=cfg.check_every,
+                                 criterion=cfg.criterion, members=gas_np)
     if cfg.solver == "dcg":
         from ..solvers.deflation import solve_dcg_batched
 
@@ -247,7 +256,8 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
     classes = np.stack(class_list)
     mask_np = np.stack(mask_list)
     mask = jnp.asarray(mask_np)
-    gas_np = ((classes == phases.GAS) & ~mask_np) if cfg.solver == "dcg" else None
+    gas_np = ((classes == phases.GAS) & ~mask_np)
+    gas_np = gas_np if cfg.solver in ("dcg", "dmg") else None
     bsz, ny, nx = classes.shape
 
     def build(dcg_val):
@@ -266,7 +276,9 @@ def solve_image_group_3phase(cfg: SimulationConfig, imgs_np: np.ndarray):
     )
     stage_max_iter = (1_000_000 if cfg.solver in ("jacobi", "rbsor", "jacobi_pallas")
                       else cfg.max_iter)
-    for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+    # dmg skips the homotopy pre-stages (κ-robust; see pipeline/single.py)
+    stages = [] if cfg.solver == "dmg" else dcg_stages(cfg.d_gas)
+    for stage_num, dcg_t in enumerate(stages, start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
         res = _solve_batched_3p(cfg, coeffs, spec, x, cfg.convergence * 10,

@@ -166,8 +166,14 @@ def single_sim(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
 
 
 def _solve3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
-    """3-phase stage solve: routes 'dcg' (needs the gas-component mask) or
-    the regular dispatch."""
+    """3-phase stage solve: routes 'dcg'/'dmg' (need the gas-component mask
+    for their deflation coarse spaces) or the regular dispatch."""
+    if cfg.solver == "dmg":
+        from ..solvers.dmg import solve_dmg
+
+        return solve_dmg(coeffs, spec, x, tol=tol, max_iter=max_iter,
+                         check_every=cfg.check_every,
+                         criterion=cfg.criterion, member=gas_np)
     if cfg.solver == "dcg":
         from ..solvers.deflation import solve_dcg
 
@@ -198,8 +204,9 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
     mask_np = phases.amplify(
         (img > 200) | ff.isolated, cfg.mesh_amp_y, cfg.mesh_amp_x
     )
-    # gas-component coarse space for the deflated solver (host preprocessing)
-    gas_np = (classes == phases.GAS) & ~mask_np if cfg.solver == "dcg" else None
+    # gas-component coarse space for the deflated solvers (host preprocessing)
+    gas_np = ((classes == phases.GAS) & ~mask_np
+              if cfg.solver in ("dcg", "dmg") else None)
     ny, nx = classes.shape
     dtype = cfg.np_dtype
     mask = jnp.asarray(mask_np)
@@ -226,7 +233,12 @@ def single_sim_3phase(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
     # of iterations, so they keep the user's own cap (a Krylov stage that
     # actually ran 1e6 iterations would mean an unreachable tolerance).
     stage_max_iter = 1_000_000 if cfg.solver in ("jacobi", "rbsor", "jacobi_pallas") else cfg.max_iter
-    for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+    # dmg is κ-robust by construction (deflation + multigrid, f64): the DCG
+    # homotopy ladder the reference needs to nurse Jacobi through the
+    # contrast (Deff2D.cuh:1492-1549) is pure overhead for it — skip the
+    # pre-stages and solve the target system directly.
+    stages = [] if cfg.solver == "dmg" else dcg_stages(cfg.d_gas)
+    for stage_num, dcg_t in enumerate(stages, start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
         res = _solve3p(cfg, coeffs, spec, x, cfg.convergence * 10,

@@ -45,8 +45,8 @@ from ..ops.flux import BoundaryFluxSpec, boundary_deff
 from .driver import SolveResult, resolve_check_every
 from .pcg import run_pcg
 
-__all__ = ["DeflationSpace", "build_component_deflation", "solve_dcg",
-           "solve_dcg_batched"]
+__all__ = ["DeflationSpace", "build_component_deflation", "run_deflated_pcg",
+           "solve_dcg", "solve_dcg_batched"]
 
 
 class DeflationSpace(NamedTuple):
@@ -89,27 +89,9 @@ def label_components(member: np.ndarray, periodic_y: bool = True) -> np.ndarray:
     return lbl.astype(np.int64) - 1
 
 
-def build_component_deflation(coeffs: fvm.StencilCoeffs,
-                              member: np.ndarray,
-                              periodic_y: bool = False,
-                              jitter: float = 1e-12) -> Optional[DeflationSpace]:
-    """Assemble the coarse space over the connected components of ``member``
-    (typically the gas phase).  Host-side O(N) preprocessing; returns None
-    when there are no components.
-
-    ``periodic_y`` defaults to False: the coarse space must follow the
-    OPERATOR's topology (no-flux y boundaries), not the flood fill's
-    periodic convention — wrap-merged components are two independent
-    equipotentials, and treating them as one both weakens the space and can
-    make E singular.  Components with (numerically) zero external
-    conductance — equipotential islands whose value cannot affect any flux —
-    are dropped from the space for the same reason.
-    """
-    labels = label_components(np.asarray(member, bool), periodic_y)
-    m = int(labels.max()) + 1
-    if m <= 0:
-        return None
-
+def _assemble_e_host(coeffs: fvm.StencilCoeffs, labels: np.ndarray,
+                     m: int) -> np.ndarray:
+    """E = W^T A W on the host (fetches the full coefficient planes)."""
     a_e = np.asarray(coeffs.a_e, np.float64)
     a_s = np.asarray(coeffs.a_s, np.float64)
     diag = np.asarray(coeffs.diag, np.float64)
@@ -133,6 +115,77 @@ def build_component_deflation(coeffs: fvm.StencilCoeffs,
     add_faces(a_e[:, :-1], labels[:, :-1], labels[:, 1:])
     # y faces: between (i, j) and (i+1, j): conductance a_s[i, j]
     add_faces(a_s[:-1, :], labels[:-1, :], labels[1:, :])
+    return E
+
+
+def _assemble_e_device(coeffs: fvm.StencilCoeffs, labels: np.ndarray,
+                       m: int) -> np.ndarray:
+    """E = W^T A W via on-device scatter-adds; only the (m+1)^2 result
+    crosses to the host.
+
+    Fetching full f64 coefficient planes over the axon relay measured ~4
+    minutes on the 2007x1002 demo image; this path is sub-second.  Entries
+    are exact sums in the coefficient dtype (pairwise-reduced by XLA); the
+    Jacobi-scaled f64 inverse downstream absorbs entry-level rounding.
+    """
+    import jax.numpy as jnp
+
+    mp = m + 1
+    park_flat = mp * mp - 1            # (m, m) corner — row/col m is discarded
+    lab = jnp.asarray(labels, jnp.int32)
+    dt = coeffs.diag.dtype
+
+    lab_flat = lab.ravel()
+    diag_idx = jnp.where(lab_flat >= 0, lab_flat * mp + lab_flat, park_flat)
+    E = jnp.zeros((mp * mp,), dt).at[diag_idx].add(coeffs.diag.ravel())
+
+    def add_faces(E, a_face, lp, lq):
+        a = a_face.ravel()
+        lp, lq = lp.ravel(), lq.ravel()
+        ok = (lp >= 0) & (lq >= 0) & (a != 0)
+        val = jnp.where(ok, -a, jnp.zeros((), dt))
+        E = E.at[jnp.where(ok, lp * mp + lq, park_flat)].add(val)
+        return E.at[jnp.where(ok, lq * mp + lp, park_flat)].add(val)
+
+    E = add_faces(E, coeffs.a_e[:, :-1], lab[:, :-1], lab[:, 1:])
+    E = add_faces(E, coeffs.a_s[:-1, :], lab[:-1, :], lab[1:, :])
+    return np.asarray(E, np.float64).reshape(mp, mp)[:m, :m]
+
+
+def build_component_deflation(coeffs: fvm.StencilCoeffs,
+                              member: np.ndarray,
+                              periodic_y: bool = False,
+                              jitter: float = 1e-12,
+                              assemble_on_device: Optional[bool] = None,
+                              ) -> Optional[DeflationSpace]:
+    """Assemble the coarse space over the connected components of ``member``
+    (typically the gas phase).  O(N) preprocessing; returns None when there
+    are no components.
+
+    ``periodic_y`` defaults to False: the coarse space must follow the
+    OPERATOR's topology (no-flux y boundaries), not the flood fill's
+    periodic convention — wrap-merged components are two independent
+    equipotentials, and treating them as one both weakens the space and can
+    make E singular.  Components with (numerically) zero external
+    conductance — equipotential islands whose value cannot affect any flux —
+    are dropped from the space for the same reason.
+
+    ``assemble_on_device``: where to compute E = W^T A W.  None (default)
+    assembles on device unless the backend is CPU — device assembly avoids
+    pulling the full coefficient planes through the axon relay.
+    """
+    labels = label_components(np.asarray(member, bool), periodic_y)
+    m = int(labels.max()) + 1
+    if m <= 0:
+        return None
+
+    if assemble_on_device is None:
+        import jax as _jax
+
+        assemble_on_device = (isinstance(coeffs.diag, jax.Array)
+                              and _jax.default_backend() != "cpu")
+    E = (_assemble_e_device if assemble_on_device else _assemble_e_host)(
+        coeffs, labels, m)
 
     # Drop decoupled components: the E row sum equals the component's total
     # external conductance (+ Dirichlet terms); ~zero means an equipotential
@@ -166,23 +219,37 @@ def build_component_deflation(coeffs: fvm.StencilCoeffs,
     )
 
 
-def _coarse_apply(defl: DeflationSpace, r: jax.Array) -> jax.Array:
-    """W E^-1 W^T r via segment-sum, a dense (m, m) matmul, and a gather."""
+def _coarse_apply(defl: DeflationSpace, r: jax.Array,
+                  weight: Optional[jax.Array] = None) -> jax.Array:
+    """W E^-1 W^T r via segment-sum, a dense (m, m) matmul, and a gather.
+
+    ``weight`` generalizes the space to per-cell-scaled indicators
+    W' = diag(weight) W (disjoint supports are preserved, so the apply stays
+    a weighted segment-sum + weighted gather).  Used by the equilibrated
+    engine: for A' = S A S the near-kernel is S^-1 W, i.e. weight =
+    1/s = sqrt(diag) — and E' = W'^T A' W' = W^T A W = E is unchanged.
+    """
     lab = defl.labels.ravel()
     safe = jnp.where(lab >= 0, lab, defl.m)          # park non-members
-    rc = jax.ops.segment_sum(r.ravel(), safe, num_segments=defl.m + 1)[:-1]
+    rr = (r * weight if weight is not None else r).ravel()
+    rc = jax.ops.segment_sum(rr, safe, num_segments=defl.m + 1)[:-1]
     y = defl.e_inv.astype(r.dtype) @ rc
     yg = jnp.concatenate([y, jnp.zeros((1,), r.dtype)])
-    return yg[safe].reshape(r.shape)
+    out = yg[safe].reshape(r.shape)
+    return out * weight if weight is not None else out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion", "m"),
-)
-def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
-                   check_every, criterion, m):
-    defl = DeflationSpace(labels=labels, e_inv=e_inv, m=m)
+def run_deflated_pcg(coeffs, b, x0, defl: Optional[DeflationSpace], precond,
+                     *, tol, max_iter, check_every, weight=None):
+    """Projected deflated-PCG engine (Tang & Vuik DEF form), traced.
+
+    ``precond(r)`` is any SPD preconditioner application (diagonal for
+    ``dcg``, a multigrid V-cycle for ``dmg``); ``defl=None`` degenerates to
+    plain preconditioned CG.  Monitors the true relative residual of the
+    *recovered* solution at the check cadence, keeps a best-iterate
+    snapshot, and restarts the recurrence on the true projected residual
+    each check (guards low-precision drift).  Returns ``(x, rel, iters)``.
+    """
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
     check_every = resolve_check_every(check_every, 100)
@@ -190,8 +257,12 @@ def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
     def matvec(p):
         return fvm.apply_operator(coeffs, p)
 
-    def q_apply(v):
-        return _coarse_apply(defl, v)
+    if defl is not None:
+        def q_apply(v):
+            return _coarse_apply(defl, v, weight)
+    else:
+        def q_apply(v):
+            return jnp.zeros_like(v)
 
     def p_apply(v):
         # P v = v - A Q v
@@ -199,16 +270,16 @@ def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
 
     def recover(xh):
         # x = Q b + (I - Q A) x_hat
-        return q_apply(coeffs.b) + xh - q_apply(matvec(xh))
+        return q_apply(b) + xh - q_apply(matvec(xh))
 
     def dot(u, v):
         return jnp.sum(u * v)
 
-    bscale = jnp.mean(jnp.abs(coeffs.b))
+    bscale = jnp.mean(jnp.abs(b))
 
     def true_rel(xh):
         x = recover(xh)
-        return jnp.mean(jnp.abs(coeffs.b - matvec(x))) / bscale
+        return jnp.mean(jnp.abs(b - matvec(x))) / bscale
 
     def cg_iter(s):
         xh, r, z, p, rz = s
@@ -217,15 +288,15 @@ def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
         alpha = jnp.where(pq > 0, rz / jnp.where(pq > 0, pq, 1.0), 0.0)
         xh = xh + alpha * p
         r = r - alpha * q
-        z = coeffs.diag_inv * r
+        z = precond(r)
         rz_new = dot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         p = z + beta * p
         return (xh, r, z, p, rz_new)
 
     def fresh(xh):
-        r = p_apply(coeffs.b - matvec(recover(xh)))
-        z = coeffs.diag_inv * r
+        r = p_apply(b - matvec(recover(xh)))
+        z = precond(r)
         return r, z, dot(r, z)
 
     def cond(c):
@@ -252,7 +323,19 @@ def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
     init = (x0, r0, z0, z0, rz0, jnp.int32(0),
             jnp.asarray(100.0, dtype), true_rel(x0), x0)
     xh, _, _, _, _, iters, pc, best, xh_best = jax.lax.while_loop(cond, body, init)
-    x = recover(xh_best)
+    return recover(xh_best), best, iters
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion", "m"),
+)
+def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
+                   check_every, criterion, m):
+    defl = DeflationSpace(labels=labels, e_inv=e_inv, m=m)
+    x, best, iters = run_deflated_pcg(
+        coeffs, coeffs.b, x0, defl, lambda r: coeffs.diag_inv * r,
+        tol=tol, max_iter=max_iter, check_every=check_every)
     return SolveResult(x=x, deff=boundary_deff(spec, x), conv=best, iters=iters)
 
 

@@ -26,7 +26,7 @@ def needs_spd(name: str) -> bool:
     every pipeline routes 3-phase systems for these solvers through it via
     this single predicate.
     """
-    return name in ("cg", "mgcg", "cgir", "dcg", "jacobi_pallas")
+    return name in ("cg", "mgcg", "cgir", "dcg", "dmg", "jacobi_pallas")
 
 
 def _lookup(name: str, batched: bool):
@@ -47,6 +47,9 @@ def _lookup(name: str, batched: bool):
     if name == "dcg":
         from .deflation import solve_dcg, solve_dcg_batched
         return solve_dcg_batched if batched else solve_dcg
+    if name == "dmg":
+        from .dmg import solve_dmg, solve_dmg_batched
+        return solve_dmg_batched if batched else solve_dmg
     if name == "jacobi_pallas":
         from .jacobi_pallas import solve_jacobi_pallas, solve_jacobi_pallas_batched
         return solve_jacobi_pallas_batched if batched else solve_jacobi_pallas
