@@ -59,26 +59,53 @@ def main():
     spec = make_flux_spec(d_field, 0.0, 1.0)
     x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (ny, nx)) + 0.0
 
-    kw = dict(tol=TOL, max_iter=MAX_ITER, check_every=20,
-              criterion="relresidual", member=gas_np)
+    from effectivediffusivityfvm_tpu.solvers.deflation import (
+        build_component_deflation)
 
     t0 = time.time()
-    res = solve_dmg(coeffs, spec, x0, **kw)
-    rel = float(res.conv)          # forces materialization
-    t_warm = time.time() - t0
-    print(f"warm (incl. deflation build + compile): {t_warm:.1f}s",
+    defl = build_component_deflation(coeffs, gas_np)
+    print(f"deflation space: m={defl.m} ({time.time() - t0:.1f}s)",
           file=sys.stderr)
 
-    t0 = time.time()
-    res = solve_dmg(coeffs, spec, x0, **kw)
-    x = np.asarray(res.x)          # force
-    t_solve = time.time() - t0
+    # Segmented solve: the axon relay kills on-device programs that run more
+    # than a few minutes (CLAUDE.md), so the solve advances in bounded
+    # while_loop programs with warm restarts (A-DEF2 restarts are exact —
+    # the deflated start is recomputed from the current iterate).
+    seg = 100
+    kw = dict(tol=TOL, max_iter=seg, check_every=20,
+              criterion="relresidual", defl=defl)
 
-    # true raw-system relative residual, f64
-    rel_true = float(jnp.mean(jnp.abs(coeffs.b - fvm.apply_operator(coeffs, res.x)))
-                     / jnp.mean(jnp.abs(coeffs.b)))
+    bmean = float(jnp.mean(jnp.abs(coeffs.b)))
+    x_cur = x0
+    total_iters = 0
+    t_solve = 0.0
+    t_warm = None
+    rel_true = float("inf")
+    for s in range(MAX_ITER // seg + 1):
+        t0 = time.time()
+        res = solve_dmg(coeffs, spec, x_cur, **kw)
+        rel_eq = float(res.conv)        # forces materialization
+        dt = time.time() - t0
+        if t_warm is None:
+            t_warm = dt                 # includes compile
+        else:
+            t_solve += dt
+        x_cur = res.x
+        total_iters += int(res.iters)
+        rel_true = float(jnp.mean(jnp.abs(coeffs.b - fvm.apply_operator(
+            coeffs, x_cur))) / bmean)
+        print(f"seg {s}: +{int(res.iters)} iters (total {total_iters}), "
+              f"relres={rel_true:.3e}, {dt:.1f}s", file=sys.stderr)
+        if rel_true <= TOL or total_iters >= MAX_ITER:
+            break
+    res = res._replace(iters=total_iters)
+    x = np.asarray(x_cur)
+    rel = rel_eq
+    print(f"warm segment (incl. deflation + compile): {t_warm:.1f}s",
+          file=sys.stderr)
+
     deff_b = float(res.deff)                       # boundary flux
-    deff_a = float(deff_flux_average(d_field, res.x, 0.0, 1.0))  # all cuts
+    deff_a = float(deff_flux_average(d_field, x_cur, 0.0, 1.0))  # all cuts
     gap = abs(deff_b - deff_a) / abs(deff_a)
     out = {
         "image": os.path.basename(IMG), "shape": [int(ny), int(nx)],

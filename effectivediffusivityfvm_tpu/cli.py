@@ -65,6 +65,19 @@ def _dispatch(cfg) -> int:
         else:
             volume_sim_3phase(cfg, vol, write_output=True)
         return 0
+    if cfg.batch_flag:
+        import os
+
+        if os.path.exists(os.path.join(cfg.image_dir, "00000.npy")):
+            # 3D voxel batch (%05d.npy in ImageDir)
+            import numpy as np
+
+            from .pipeline.volume import volume_batch_sim, volume_batch_sim_3phase
+
+            vols = [np.load(os.path.join(cfg.image_dir, f"{i:05d}.npy"))
+                    for i in range(cfg.num_images)]
+            (volume_batch_sim if cfg.n_phase == 2 else volume_batch_sim_3phase)(cfg, vols)
+            return 0
     if cfg.n_phase == 2:
         if not cfg.batch_flag:
             single_sim(cfg)

@@ -35,6 +35,7 @@ __all__ = [
     "write_batch",
     "write_batch_3phase",
     "write_cmap",
+    "write_cmap_3d",
     "IncrementalBatchWriter",
     "BATCH2_HEADER",
     "BATCH3_HEADER",
@@ -106,6 +107,25 @@ def write_cmap(path, x_field: np.ndarray):
         lines = [
             f"{j},{i},{c:1.3e}"
             for j, i, c in zip(jj.ravel(), ii.ravel(), x_field.ravel())
+        ]
+        fh.write("\n".join(lines))
+        fh.write("\n")
+
+
+def write_cmap_3d(path, x_field: np.ndarray):
+    """3D concentration field -> ``X,Y,Z,C`` CSV, z-major (the 3D analog of
+    createCMAP, Deff2D.cuh:497-524; no reference equivalent — 3D mode is a
+    framework extension)."""
+    x_field = np.asarray(x_field)
+    nz, ny, nx = x_field.shape
+    kk, ii, jj = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx),
+                             indexing="ij")
+    with open(path, "w+") as fh:
+        fh.write("X,Y,Z,C\n")
+        lines = [
+            f"{j},{i},{k},{c:1.3e}"
+            for j, i, k, c in zip(jj.ravel(), ii.ravel(), kk.ravel(),
+                                  x_field.ravel())
         ]
         fh.write("\n".join(lines))
         fh.write("\n")

@@ -29,7 +29,8 @@ from ..utils.logging import vprint
 from ..utils.timing import time_fn
 from .single import dcf_stages, dcg_stages
 
-__all__ = ["VolumeResult", "volume_sim", "volume_sim_3phase"]
+__all__ = ["VolumeResult", "volume_sim", "volume_sim_3phase",
+           "volume_batch_sim", "volume_batch_sim_3phase"]
 
 
 @dataclasses.dataclass
@@ -170,3 +171,168 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
                                     float(res.conv), cfg.d_solid, cfg.d_fluid,
                                     cfg.d_gas)
     return result
+
+
+# ---------------------------------------------------------------------------
+# 3D batch mode (framework extension: the reference has no 3D at all; this is
+# the voxel analog of pipeline/batch.py for micro-CT dataset generation)
+# ---------------------------------------------------------------------------
+
+_BATCHED_SOLVERS = {
+    "jacobi": solvers3d.solve_jacobi_3d_batched,
+    "rbsor": solvers3d.solve_rbsor_3d_batched,
+    "cg": solvers3d.solve_cg_3d_batched,
+    "mgcg": solvers3d.solve_mgcg_3d_batched,
+}
+
+
+def _group_by_shape(vols, indices, max_group):
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i in indices:
+        buckets[vols[i].shape].append(i)
+    groups = []
+    for _, idxs in sorted(buckets.items()):
+        if max_group <= 0:
+            groups.append(idxs)
+        else:
+            groups.extend(idxs[k:k + max_group]
+                          for k in range(0, len(idxs), max_group))
+    return groups
+
+
+def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter):
+    fn = _BATCHED_SOLVERS[_effective_solver_3d(cfg)]
+    return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
+              check_every=cfg.check_every, criterion=cfg.criterion)
+
+
+def volume_batch_sim(cfg: SimulationConfig, vols) -> np.ndarray:
+    """2-phase voxel batch: same-shape volumes stack to ``(B, nz, ny, nx)``
+    and solve as ONE vmapped device computation per group with per-volume
+    convergence freezing; rows use the 2-phase batch schema with
+    ``nElements`` = voxel count.  Incremental output/resume as in 2D."""
+    import jax
+
+    cfg.validate()
+    n = len(vols)
+    out = np.zeros((n, 9))
+    inc = (writers.IncrementalBatchWriter(cfg.output_name)
+           if cfg.incremental_output else None)
+    done = inc.completed() if inc else set()
+    pending = [i for i in range(n) if i not in done]
+    dtype = cfg.np_dtype
+    solver3d = _effective_solver_3d(cfg)
+
+    for group in _group_by_shape(vols, pending, cfg.batch_size):
+        stack = np.stack([vols[i] for i in group])
+        stats = [(volume.porosity_3d(vols[i]),
+                  volume.flood_fill_3d(vols[i] > 150).path_flag)
+                 for i in group]
+        classes = np.stack([
+            volume.amplify_3d(phases.two_phase_classes(v),
+                              cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+            for v in stack])
+        bsz, nz, ny, nx = classes.shape
+        d_field = jnp.asarray(phases.d_field_from_classes(
+            classes, cfg.d_fluid, cfg.d_solid, dtype=dtype))
+        coeffs = jax.vmap(fvm3d.fvm_coefficients_3d, in_axes=(0, None, None))(
+            d_field, cfg.c_left, cfg.c_right)
+        spec = jax.vmap(fvm3d.make_flux_spec_3d, in_axes=(0, None, None))(
+            d_field, cfg.c_left, cfg.c_right)
+        x0 = jnp.broadcast_to(
+            _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype),
+            (bsz, nz, ny, nx))
+        res, dt = time_fn(_solve3d_batched, cfg, coeffs, spec, x0,
+                          cfg.convergence, cfg.max_iter)
+        deff = np.asarray(res.deff, np.float64) / cfg.d_fluid
+        conv = np.asarray(res.conv)
+        iters = np.asarray(res.iters)
+        tshare = dt * iters / max(float(iters.sum()), 1.0)
+        for k, i in enumerate(group):
+            poro, pf = stats[k]
+            row = (i, poro, int(pf), float(deff[k]), float(tshare[k]),
+                   classes[k].size, float(conv[k]), cfg.d_solid, cfg.d_fluid)
+            out[i] = row
+            if inc:
+                inc.write_row(row)
+            vprint(cfg.verbose, f"Volume {i} Deff {float(deff[k])}")
+    if not cfg.incremental_output:
+        writers.write_batch(cfg.output_name, [tuple(r) for r in out])
+    return out
+
+
+def volume_batch_sim_3phase(cfg: SimulationConfig, vols) -> np.ndarray:
+    """3-phase voxel batch with the DCG homotopy shared per group; optional
+    per-volume ``CMAP_%05d.csv`` in ``X,Y,Z,C`` layout."""
+    import jax
+
+    cfg.validate()
+    n = len(vols)
+    out = np.zeros((n, 11))
+    inc = (writers.IncrementalBatchWriter(cfg.output_name, three_phase=True)
+           if cfg.incremental_output else None)
+    done = inc.completed() if inc else set()
+    pending = [i for i in range(n) if i not in done]
+    dtype = cfg.np_dtype
+    solver3d = _effective_solver_3d(cfg)
+    symmetric = solver3d in ("cg", "mgcg")
+
+    for group in _group_by_shape(vols, pending, cfg.batch_size):
+        stack = np.stack([vols[i] for i in group])
+        flags = [volume.flood_fill_3d(vols[i] > 200).path_flag for i in group]
+        classes = np.stack([
+            volume.amplify_3d(phases.three_phase_classes(v),
+                              cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+            for v in stack])
+        mask_np = np.stack([
+            volume.amplify_3d((v > 200) | volume.flood_fill_3d(v > 200).isolated,
+                              cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+            for v in stack])
+        mask = jnp.asarray(mask_np)
+        bsz, nz, ny, nx = classes.shape
+
+        def build(dcg_val):
+            d_field = jnp.asarray(phases.d_field_from_classes(
+                classes, cfg.d_fluid, cfg.d_solid, dcg_val, dtype=dtype))
+            coeffs = jax.vmap(
+                fvm3d.fvm_coefficients_3d, in_axes=(0, None, None, 0, None))(
+                d_field, cfg.c_left, cfg.c_right, mask, symmetric)
+            spec = jax.vmap(fvm3d.make_flux_spec_3d, in_axes=(0, None, None))(
+                d_field, cfg.c_left, cfg.c_right)
+            return coeffs, spec
+
+        x = jnp.broadcast_to(
+            _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype),
+            (bsz, nz, ny, nx))
+        stage_max_iter = (1_000_000 if solver3d in ("jacobi", "rbsor")
+                          else cfg.max_iter)
+        for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+            vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
+            coeffs, spec = build(dcg_t)
+            res = _solve3d_batched(cfg, coeffs, spec, x, cfg.convergence * 10,
+                                   stage_max_iter)
+            x = res.x
+
+        coeffs, spec = build(cfg.d_gas)
+        res, dt = time_fn(_solve3d_batched, cfg, coeffs, spec, x,
+                          cfg.convergence, cfg.max_iter)
+        deff = np.asarray(res.deff, np.float64) / cfg.d_fluid
+        conv = np.asarray(res.conv)
+        iters = np.asarray(res.iters)
+        xs = np.asarray(res.x)
+        tshare = dt * iters / max(float(iters.sum()), 1.0)
+        fr = [phases.phase_fractions(c) for c in classes]
+        for k, i in enumerate(group):
+            row = (i, float(fr[k][0]), float(fr[k][1]), int(flags[k]),
+                   float(deff[k]), float(tshare[k]), classes[k].size,
+                   float(conv[k]), cfg.d_solid, cfg.d_fluid, cfg.d_gas)
+            out[i] = row
+            if inc:
+                inc.write_row(row)
+            if cfg.print_cmap:
+                writers.write_cmap_3d(f"CMAP_{i:05d}.csv", xs[k])
+    if not cfg.incremental_output:
+        writers.write_batch_3phase(cfg.output_name, [tuple(r) for r in out])
+    return out

@@ -119,37 +119,39 @@ def _assemble_e_host(coeffs: fvm.StencilCoeffs, labels: np.ndarray,
 
 
 def _assemble_e_device(coeffs: fvm.StencilCoeffs, labels: np.ndarray,
-                       m: int) -> np.ndarray:
-    """E = W^T A W via on-device scatter-adds; only the (m+1)^2 result
-    crosses to the host.
+                       m: int, chunk: int = 128) -> np.ndarray:
+    """E = W^T (A W) via m on-device matvecs; only (m, m) crosses to host.
 
     Fetching full f64 coefficient planes over the axon relay measured ~4
-    minutes on the 2007x1002 demo image; this path is sub-second.  Entries
-    are exact sums in the coefficient dtype (pairwise-reduced by XLA); the
-    Jacobi-scaled f64 inverse downstream absorbs entry-level rounding.
+    minutes on the 2007x1002 demo image, and the scatter-add formulation
+    measured ~5 minutes on-device (TPU scatter over 2M indices serializes).
+    This form is all stencil shifts + dense reductions: W's indicator
+    planes are built from the labels by comparison, A W is the vmapped
+    operator apply, and the (m, m) contraction is one dot — ~50 ms for the
+    demo image's 55 components.  ``chunk`` bounds the (chunk, ny, nx)
+    working set for media with many components.
     """
     import jax.numpy as jnp
 
-    mp = m + 1
-    park_flat = mp * mp - 1            # (m, m) corner — row/col m is discarded
+    if m > chunk:
+        # many-component media: the (m, n) one-hot working set stops paying
+        # for itself; the host path is O(N) regardless of m
+        return _assemble_e_host(coeffs, labels, m)
+
     lab = jnp.asarray(labels, jnp.int32)
     dt = coeffs.diag.dtype
+    n = labels.size
 
-    lab_flat = lab.ravel()
-    diag_idx = jnp.where(lab_flat >= 0, lab_flat * mp + lab_flat, park_flat)
-    E = jnp.zeros((mp * mp,), dt).at[diag_idx].add(coeffs.diag.ravel())
+    @jax.jit
+    def assemble():
+        js = jnp.arange(m, dtype=jnp.int32)
+        W = (lab[None, :, :] == js[:, None, None]).astype(dt)   # (m, ny, nx)
+        AW = jax.vmap(lambda wj: fvm.apply_operator(coeffs, wj))(W)
+        return jax.lax.dot_general(
+            W.reshape(m, n), AW.reshape(m, n), (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
 
-    def add_faces(E, a_face, lp, lq):
-        a = a_face.ravel()
-        lp, lq = lp.ravel(), lq.ravel()
-        ok = (lp >= 0) & (lq >= 0) & (a != 0)
-        val = jnp.where(ok, -a, jnp.zeros((), dt))
-        E = E.at[jnp.where(ok, lp * mp + lq, park_flat)].add(val)
-        return E.at[jnp.where(ok, lq * mp + lp, park_flat)].add(val)
-
-    E = add_faces(E, coeffs.a_e[:, :-1], lab[:, :-1], lab[:, 1:])
-    E = add_faces(E, coeffs.a_s[:-1, :], lab[:-1, :], lab[1:, :])
-    return np.asarray(E, np.float64).reshape(mp, mp)[:m, :m]
+    return np.array(assemble(), np.float64)
 
 
 def build_component_deflation(coeffs: fvm.StencilCoeffs,

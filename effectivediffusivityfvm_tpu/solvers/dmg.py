@@ -89,8 +89,17 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
     w = 1.0 / s                                  # = sqrt(diag): W' = S^-1 W
 
     pdt = jnp.float32 if precond_f32 else dtype
+    # The hierarchy is built on the RAW operator, not the equilibrated one:
+    # aggregation interpolation must follow the physical conductances.  On
+    # A' = S A S the smooth modes are S^-1-scaled — they jump ~sqrt(contrast)
+    # across phase interfaces, which piecewise-constant aggregation cannot
+    # interpolate (measured on the 2007x1002 demo: eq-space hierarchy
+    # contracts ~2.3x per 100 iterations; raw-space ~1 digit per ~10).  The
+    # raw cycle plugs into the equilibrated engine by the similarity maps
+    # r_raw = S^-1 r' = w.r' and z' = S^-1 e = w.e, so
+    # M'_mg = S^-1 M_mg S^-1 — still SPD.
     levels = build_hierarchy(
-        jax.tree.map(lambda a: a.astype(pdt), c_eq), min_size=min_size)
+        jax.tree.map(lambda a: a.astype(pdt), coeffs), min_size=min_size)
 
     def matvec(p):
         return fvm.apply_operator(c_eq, p)
@@ -103,8 +112,9 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
             return jnp.zeros_like(v)
 
     def precond(r):
-        z = v_cycle(levels, r.astype(pdt), nu1=nu, nu2=nu, omega=mg_omega,
-                    coarse_iters=coarse_iters, over=over).astype(dtype)
+        z = w * v_cycle(levels, (w * r).astype(pdt), nu1=nu, nu2=nu,
+                        omega=mg_omega, coarse_iters=coarse_iters,
+                        over=over).astype(dtype)
         # A-DEF2: M^-1 r = (I - Q A) z + Q r
         return z - q_apply(matvec(z)) + q_apply(r)
 

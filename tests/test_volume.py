@@ -187,3 +187,72 @@ class TestManifest:
         data = json.loads((tmp_path / "run.json").read_text())
         assert data["meta"]["config"]["n_phase"] == 2
         assert data["records"][0]["deff"] == 0.5
+
+
+class TestVolumeBatch:
+    """3D batch pipeline (pipeline/volume.py volume_batch_sim*)."""
+
+    def _slab_vol(self, n, frac):
+        vol = np.full((n, n, n), 255, np.uint8)
+        vol[: int(n * frac)] = 0
+        return vol
+
+    def test_batch_2phase_matches_singles(self, tmp_path):
+        from effectivediffusivityfvm_tpu.pipeline.volume import volume_batch_sim
+
+        vols = [self._slab_vol(12, 0.5), self._slab_vol(16, 0.25),
+                self._slab_vol(12, 0.75)]
+        cfg = SimulationConfig(
+            n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+            convergence=1e-9, max_iter=2000, check_every=10,
+            dtype="float64", criterion="residual", solver="mgcg",
+            output_name=str(tmp_path / "vb.csv"), num_images=3,
+        )
+        out = volume_batch_sim(cfg, vols)
+        for k, e in enumerate((0.5, 0.25, 0.75)):
+            np.testing.assert_allclose(out[k, 3], e + (1 - e) * 0.1, rtol=1e-5)
+            assert out[k, 2] == 1.0
+        assert out[1, 5] == 16 ** 3
+        lines = (tmp_path / "vb.csv").read_text().splitlines()
+        assert len(lines) == 4
+
+    def test_batch_3phase_cmap3d(self, tmp_path, monkeypatch):
+        from effectivediffusivityfvm_tpu.pipeline.volume import volume_batch_sim_3phase
+        from effectivediffusivityfvm_tpu.viz import read_cmap_3d
+
+        n = 12
+        vol = np.zeros((n, n, n), np.uint8)
+        vol[: n // 4] = 255
+        vol[n // 4: n // 4 + n // 2] = 150
+        monkeypatch.chdir(tmp_path)
+        cfg = SimulationConfig(
+            n_phase=3, batch_flag=True, d_fluid=1.0, d_solid=0.0, d_gas=50.0,
+            convergence=1e-9, max_iter=4000, check_every=10,
+            dtype="float64", criterion="residual", solver="mgcg",
+            output_name=str(tmp_path / "vb3.csv"), num_images=2,
+            print_cmap=True,
+        )
+        out = volume_batch_sim_3phase(cfg, [vol, vol])
+        np.testing.assert_allclose(out[:, 4], 0.5 + 0.25 * 50.0, rtol=1e-5)
+        # CMAP_00001.csv: X,Y,Z,C round-trip equals the field layout
+        field = read_cmap_3d(str(tmp_path / "CMAP_00001.csv"))
+        assert field.shape == (n, n, n)
+        assert np.all(np.isfinite(field))
+        # monotone in x inside the fluid/gas band
+        band = field[n // 2]
+        assert band[n // 2, -1] > band[n // 2, 0]
+
+    def test_batch_resume_skips_done(self, tmp_path):
+        from effectivediffusivityfvm_tpu.pipeline.volume import volume_batch_sim
+
+        vols = [self._slab_vol(12, 0.5), self._slab_vol(12, 0.25)]
+        cfg = SimulationConfig(
+            n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+            convergence=1e-9, max_iter=2000, check_every=10,
+            dtype="float64", criterion="residual", solver="mgcg",
+            output_name=str(tmp_path / "vb.csv"), num_images=2,
+        )
+        volume_batch_sim(cfg, vols)
+        n_lines = len((tmp_path / "vb.csv").read_text().splitlines())
+        volume_batch_sim(cfg, vols)   # rerun: all done, no new rows
+        assert len((tmp_path / "vb.csv").read_text().splitlines()) == n_lines
