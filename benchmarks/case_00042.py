@@ -106,6 +106,19 @@ def main():
 
     deff_b = float(res.deff)                       # boundary flux
     deff_a = float(deff_flux_average(d_field, x_cur, 0.0, 1.0))  # all cuts
+
+    # conservation diagnostic: operator-consistent flux through every
+    # interior cut (a_e IS h*dy/dx, so this is the flux the solved system
+    # actually transports); constant per cut iff the discretization
+    # conserves mass in x
+    q_cuts = np.asarray(jnp.sum(
+        coeffs.a_e[:, :-1] * (x_cur[:, 1:] - x_cur[:, :-1]), axis=0))
+    print(f"cut-flux: min={q_cuts.min():.6f} max={q_cuts.max():.6f} "
+          f"mean={q_cuts.mean():.6f} drift={(q_cuts.max()-q_cuts.min())/abs(q_cuts.mean()):.3e}",
+          file=sys.stderr)
+    os.makedirs("parity_out", exist_ok=True)
+    np.savez_compressed("parity_out/case_00042_field.npz",
+                        x=np.asarray(x_cur), q_cuts=q_cuts)
     gap = abs(deff_b - deff_a) / abs(deff_a)
     out = {
         "image": os.path.basename(IMG), "shape": [int(ny), int(nx)],

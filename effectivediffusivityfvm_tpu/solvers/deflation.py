@@ -50,11 +50,23 @@ __all__ = ["DeflationSpace", "build_component_deflation", "run_deflated_pcg",
 
 
 class DeflationSpace(NamedTuple):
-    labels: jax.Array     # (ny, nx) int32; -1 = not in any component
-    e_inv: jax.Array      # (m, m) dense inverse of E (small SPD coarse matrix;
-                          #   a matmul apply — TPU triangular-solve kernels
-                          #   fault on this platform)
-    m: int                # number of components (static)
+    """Component coarse space with the inverse held in Jacobi-scaled
+    FACTORED form: E = D^1/2 Ehat D^1/2 and the apply is
+    y = D^-1/2 (Ehat^-1 (D^-1/2 rc)).
+
+    Component conductances span many decades (κ(E) ~ 2.5e9 on the bundled
+    00042.jpg) while κ(Ehat) ~ 1: applying a premultiplied dense E^-1 in
+    f64 perturbs the weakly-coupled components' corrections by ~eps·κ(E)
+    ~ 2.5e-7 relative — the measured ~6e-11 residual floor of the f64
+    deflated solves.  The factored apply keeps every step relative-exact
+    (diagonal scalings) or κ~1 (the Ehat^-1 matmul — dense inverse, not a
+    triangular solve: TPU triangular-solve kernels fault on this
+    platform)."""
+
+    labels: jax.Array       # (ny, nx) int32; -1 = not in any component
+    e_hat_inv: jax.Array    # (m, m) inverse of the unit-diagonal Ehat
+    dhalf_inv: jax.Array    # (m,) 1/sqrt(diag(E))
+    m: int                  # number of components (static)
 
 
 def label_components(member: np.ndarray, periodic_y: bool = True) -> np.ndarray:
@@ -206,17 +218,15 @@ def build_component_deflation(coeffs: fvm.StencilCoeffs,
         m = int(keep.sum())
 
     E += jitter * np.trace(E) / m * np.eye(m)
-    # Invert in Jacobi-scaled form: component conductances span many decades
-    # (kappa(E) ~ 1e9 on the bundled 00042.jpg), and inverting the raw E
-    # loses ~log10(kappa) digits that then poison every projection.
-    # E = D^1/2 Ehat D^1/2  ->  E^-1 = D^-1/2 Ehat^-1 D^-1/2 with Ehat
-    # having unit diagonal.
+    # Keep the inverse FACTORED (see the DeflationSpace docstring): the
+    # dense product D^-1/2 Ehat^-1 D^-1/2 spans κ(E) decades and its f64
+    # matmul apply floors the deflated solves at ~eps·κ(E).
     dhalf = np.sqrt(np.diag(E))
     e_hat = E / dhalf[:, None] / dhalf[None, :]
-    e_inv = np.linalg.inv(e_hat) / dhalf[:, None] / dhalf[None, :]
     return DeflationSpace(
         labels=jnp.asarray(labels, jnp.int32),
-        e_inv=jnp.asarray(e_inv, coeffs.diag.dtype),
+        e_hat_inv=jnp.asarray(np.linalg.inv(e_hat), coeffs.diag.dtype),
+        dhalf_inv=jnp.asarray(1.0 / dhalf, coeffs.diag.dtype),
         m=m,
     )
 
@@ -235,7 +245,8 @@ def _coarse_apply(defl: DeflationSpace, r: jax.Array,
     safe = jnp.where(lab >= 0, lab, defl.m)          # park non-members
     rr = (r * weight if weight is not None else r).ravel()
     rc = jax.ops.segment_sum(rr, safe, num_segments=defl.m + 1)[:-1]
-    y = defl.e_inv.astype(r.dtype) @ rc
+    dhi = defl.dhalf_inv.astype(r.dtype)
+    y = dhi * (defl.e_hat_inv.astype(r.dtype) @ (dhi * rc))
     yg = jnp.concatenate([y, jnp.zeros((1,), r.dtype)])
     out = yg[safe].reshape(r.shape)
     return out * weight if weight is not None else out
@@ -332,9 +343,10 @@ def run_deflated_pcg(coeffs, b, x0, defl: Optional[DeflationSpace], precond,
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion", "m"),
 )
-def _solve_dcg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
-                   check_every, criterion, m):
-    defl = DeflationSpace(labels=labels, e_inv=e_inv, m=m)
+def _solve_dcg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
+                   tol, max_iter, check_every, criterion, m):
+    defl = DeflationSpace(labels=labels, e_hat_inv=e_hat_inv,
+                          dhalf_inv=dhalf_inv, m=m)
     x, best, iters = run_deflated_pcg(
         coeffs, coeffs.b, x0, defl, lambda r: coeffs.diag_inv * r,
         tol=tol, max_iter=max_iter, check_every=check_every)
@@ -356,29 +368,32 @@ def solve_dcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
 
         return solve_cg(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                         check_every=check_every, criterion=criterion)
-    return _solve_dcg_jit(coeffs, spec, x0, defl.labels, defl.e_inv,
-                          omega=omega, tol=tol, max_iter=max_iter,
-                          check_every=check_every, criterion=criterion,
-                          m=defl.m)
+    return _solve_dcg_jit(coeffs, spec, x0, defl.labels, defl.e_hat_inv,
+                          defl.dhalf_inv, omega=omega, tol=tol,
+                          max_iter=max_iter, check_every=check_every,
+                          criterion=criterion, m=defl.m)
 
 
 def _pad_deflation(defl: Optional[DeflationSpace], shape, dtype,
                    m_max: int) -> tuple:
     """Pad one image's deflation space to the batch-wide component count.
 
-    Zero-padded E^-1 rows/cols are inert: no cell carries a padded label, so
-    their segment sums are zero and the gather never reads them.  An image
-    with no components (labels all -1, e_inv all zero) degenerates to plain
-    diagonal PCG inside the same batched solve.
+    Zero-padded Ehat^-1/scale rows are inert: no cell carries a padded
+    label, so their segment sums are zero and the gather never reads them.
+    An image with no components (labels all -1, factors all zero)
+    degenerates to plain diagonal PCG inside the same batched solve.
     """
     import numpy as _np
 
     if defl is None:
-        return (_np.full(shape, -1, _np.int32), _np.zeros((m_max, m_max), dtype))
+        return (_np.full(shape, -1, _np.int32),
+                _np.zeros((m_max, m_max), dtype), _np.zeros((m_max,), dtype))
     lab = _np.asarray(defl.labels, _np.int32)
     e = _np.zeros((m_max, m_max), dtype)
-    e[:defl.m, :defl.m] = _np.asarray(defl.e_inv, dtype)
-    return lab, e
+    e[:defl.m, :defl.m] = _np.asarray(defl.e_hat_inv, dtype)
+    dh = _np.zeros((m_max,), dtype)
+    dh[:defl.m] = _np.asarray(defl.dhalf_inv, dtype)
+    return lab, e, dh
 
 
 def solve_dcg_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
@@ -417,9 +432,10 @@ def solve_dcg_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8
     np_dtype = np.dtype(str(x0.dtype))
     padded = [_pad_deflation(d, x0.shape[1:], np_dtype, m_max) for d in defls]
     labels = jnp.asarray(np.stack([p[0] for p in padded]))
-    e_inv = jnp.asarray(np.stack([p[1] for p in padded]))
+    e_hat_inv = jnp.asarray(np.stack([p[1] for p in padded]))
+    dhalf_inv = jnp.asarray(np.stack([p[2] for p in padded]))
 
     solve_one = functools.partial(
         _solve_dcg_jit, omega=omega, tol=tol, max_iter=max_iter,
         check_every=check_every, criterion=criterion, m=m_max)
-    return jax.vmap(solve_one)(coeffs, spec, x0, labels, e_inv)
+    return jax.vmap(solve_one)(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv)

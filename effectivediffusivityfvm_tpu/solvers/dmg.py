@@ -80,12 +80,13 @@ def _mg_kw(kw):
                      "m", "nu", "mg_omega", "coarse_iters", "min_size",
                      "over", "precond_f32"),
 )
-def _solve_dmg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
-                   check_every, criterion, m, nu, mg_omega, coarse_iters,
-                   min_size, over, precond_f32):
+def _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
+                   tol, max_iter, check_every, criterion, m, nu, mg_omega,
+                   coarse_iters, min_size, over, precond_f32):
     dtype = x0.dtype
     c_eq, s = fvm.equilibrate(coeffs)
-    defl = DeflationSpace(labels=labels, e_inv=e_inv, m=m) if m > 0 else None
+    defl = (DeflationSpace(labels=labels, e_hat_inv=e_hat_inv,
+                           dhalf_inv=dhalf_inv, m=m) if m > 0 else None)
     w = 1.0 / s                                  # = sqrt(diag): W' = S^-1 W
 
     pdt = jnp.float32 if precond_f32 else dtype
@@ -133,8 +134,9 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_inv, *, omega, tol, max_iter,
 
 def _space_or_empty(defl, shape, dtype):
     if defl is None:
-        return jnp.full(shape, -1, jnp.int32), jnp.zeros((0, 0), dtype), 0
-    return defl.labels, defl.e_inv, defl.m
+        return (jnp.full(shape, -1, jnp.int32), jnp.zeros((0, 0), dtype),
+                jnp.zeros((0,), dtype), 0)
+    return defl.labels, defl.e_hat_inv, defl.dhalf_inv, defl.m
 
 
 def solve_dmg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-10,
@@ -157,11 +159,11 @@ def solve_dmg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-10,
                          "set Dtype: float64)")
     if defl is None and member is not None:
         defl = build_component_deflation(coeffs, member)
-    labels, e_inv, m = _space_or_empty(defl, x0.shape, x0.dtype)
-    return _solve_dmg_jit(coeffs, spec, x0, labels, e_inv, omega=omega,
-                          tol=tol, max_iter=max_iter, check_every=check_every,
-                          criterion=criterion, m=m, precond_f32=precond_f32,
-                          **_mg_kw(mg))
+    labels, e_hat_inv, dhalf_inv, m = _space_or_empty(defl, x0.shape, x0.dtype)
+    return _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv,
+                          omega=omega, tol=tol, max_iter=max_iter,
+                          check_every=check_every, criterion=criterion, m=m,
+                          precond_f32=precond_f32, **_mg_kw(mg))
 
 
 def solve_dmg_batched(coeffs, spec, x0, *, omega: float = 0.0,
@@ -189,16 +191,18 @@ def solve_dmg_batched(coeffs, spec, x0, *, omega: float = 0.0,
 
     if m_max == 0:
         labels = jnp.full(x0.shape, -1, jnp.int32)
-        e_inv = jnp.zeros((bsz, 0, 0), x0.dtype)
+        e_hat_inv = jnp.zeros((bsz, 0, 0), x0.dtype)
+        dhalf_inv = jnp.zeros((bsz, 0), x0.dtype)
     else:
         np_dtype = np.dtype(str(x0.dtype))
         padded = [_pad_deflation(d, x0.shape[1:], np_dtype, m_max)
                   for d in defls]
         labels = jnp.asarray(np.stack([p[0] for p in padded]))
-        e_inv = jnp.asarray(np.stack([p[1] for p in padded]))
+        e_hat_inv = jnp.asarray(np.stack([p[1] for p in padded]))
+        dhalf_inv = jnp.asarray(np.stack([p[2] for p in padded]))
 
     solve_one = functools.partial(
         _solve_dmg_jit, omega=omega, tol=tol, max_iter=max_iter,
         check_every=check_every, criterion=criterion, m=m_max,
         precond_f32=precond_f32, **_mg_kw(mg))
-    return jax.vmap(solve_one)(coeffs, spec, x0, labels, e_inv)
+    return jax.vmap(solve_one)(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv)

@@ -160,6 +160,8 @@ def run_pcg(
     # Return the best iterate seen: equals the final x in normal convergence,
     # and the pre-divergence state when the safety net fired.
     deff_best = deff_fn(x_best)
-    if criterion != "deff":
+    if criterion == "relresidual":
+        conv = best / bscale   # report in the criterion's own (scale-free) units
+    elif criterion != "deff":
         conv = best
     return SolveResult(x=x_best, deff=deff_best, conv=conv, iters=iters)
