@@ -84,11 +84,10 @@ def main():
 
     coeffs, spec, x0 = build_problem(BATCH, SIZE, jnp.float32)
 
-    # Tuned for the fused whole-V-cycle Pallas preconditioner (round 2):
-    # V(2,2) — extra smooths are free once the hierarchy is VMEM-resident —
-    # with the round-1 over-correction factor.  Measured ladder at this
-    # scale: 82 solves/s (XLA V(1,1)) -> 155 (fused V(1,1)) -> 262 (fused
-    # V(2,2), min_size=16/coarse_iters=32).
+    # Measured ladder at this scale: 82 solves/s (XLA V(1,1)) -> 155 (fused
+    # V(1,1) cycle) -> 262 (fused V(2,2) cycle, min_size=16/coarse_iters=32)
+    # -> 434 (whole-CG-iteration fusion: CG state + pyramid resident in
+    # VMEM for check_every iterations per launch, auto-selected).
     kw = dict(tol=TOL, max_iter=3_000, check_every=10, criterion="residual",
               min_size=16, coarse_iters=32, nu1=2, nu2=2, over=1.8)
 
@@ -117,10 +116,13 @@ def main():
     print(f"deff range: {deff.min():.4f}..{deff.max():.4f}", file=sys.stderr)
 
     # effective HBM traffic estimate per MGCG iteration with the fused
-    # whole-V-cycle kernel: CG matvec ~7, fused cycle ~6 (read 4-plane-equiv
-    # pyramid + r, write z), CG vector algebra ~9, true-residual checks
-    # amortized ~2
-    planes_per_iter = 24
+    # whole-CG-iteration kernel (ops/kernels/cgstep_vmem.py): pyramid +
+    # x/r/p io ~10 planes amortized over check_every=10 iterations, plus
+    # ~13 planes of true-residual/restart work per check — ~2.3
+    # planes/iteration.  At that traffic the solve is COMPUTE-bound (the
+    # in-VMEM V(2,2)+CG iteration measures ~74 us/image-iteration at 512^2,
+    # consistent with the ~70 Gcell/s VPU sweep rate).
+    planes_per_iter = 2.3
     total_iters = int(np.sum(np.asarray(res.iters)))
     traffic = total_iters / BATCH * planes_per_iter * SIZE * SIZE * 4 * BATCH
     print(f"effective traffic ~{traffic / best / 1e9:.0f} GB/s "

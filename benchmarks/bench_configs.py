@@ -74,17 +74,20 @@ def config2():
     spec = make_flux_spec(d, 0.0, 1.0)
     x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32) / n, (n, n))
 
-    kw = dict(tol=1e-6, max_iter=400_000, check_every=2_000,
-              criterion="relresidual")
+    # the reference's own stopping protocol: |dDeff/Deff| < 1e-5 checked
+    # every 10k sweeps (Deff2D.cuh:1174, 1265).  An fp32 relresidual target
+    # of 1e-6 is unreachable on 3-decade D(x) media (measured floor ~3e-4).
+    kw = dict(tol=1e-5, max_iter=400_000, check_every=10_000,
+              criterion="deff")
     res, best, warm = _timed(solve_rbsor, coeffs, spec, x0, **kw)
     iters = int(res.iters)
     # one red-black iteration = 2 half-sweeps over the full grid
     cell_rate = iters * n * n / best / 1e9
-    print(f"config2: rbsor {iters} iters, relres={float(res.conv):.2e}, "
+    print(f"config2: rbsor {iters} iters, conv={float(res.conv):.2e}, "
           f"deff={float(res.deff):.5f}, {best:.3f}s (warm {warm:.1f}s), "
           f"{cell_rate:.2f} Gcell-iters/s", file=sys.stderr)
     _emit({"config": 2,
-           "metric": "512^2 grayscale D(x) rbsor solve to relres 1e-6",
+           "metric": "512^2 grayscale D(x) rbsor, reference deff protocol 1e-5",
            "seconds": round(best, 4), "iters": iters,
            "gcell_iters_per_s": round(cell_rate, 2)})
 
@@ -106,15 +109,37 @@ def config3():
     spec = make_flux_spec(d, 0.0, 1.0)
     x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32) / n, (n, n))
 
-    # the recommended solver at this scale: MGCG (fused Pallas V-cycle does
-    # not fit VMEM at 2048^2 fp32; the XLA cycle runs automatically)
-    kw = dict(tol=1e-8, max_iter=2_000, check_every=10, criterion="relresidual",
+    # fast fp32 MGCG first (its fp32 floor on contrast-1e6 media is ~1e-4 —
+    # measured — so the tight 1e-8 target needs the f64-engine solver below)
+    kw = dict(tol=1e-4, max_iter=400, check_every=10, criterion="relresidual",
               min_size=32, coarse_iters=64, nu1=2, nu2=2, over=1.8)
     res, best, warm = _timed(solve_mgcg, coeffs, spec, x0, **kw)
-    print(f"config3 mgcg: {int(res.iters)} iters, relres={float(res.conv):.2e}, "
+    print(f"config3 mgcg fp32: {int(res.iters)} iters, relres={float(res.conv):.2e}, "
           f"deff={float(res.deff):.5f}, {best:.2f}s (warm {warm:.1f}s)",
           file=sys.stderr)
-    _emit({"config": 3, "metric": "2048^2 MGCG solve to relres 1e-8",
+    _emit({"config": 3, "metric": "2048^2 fp32 MGCG to its ~1e-4 floor",
+           "seconds": round(best, 3), "iters": int(res.iters),
+           "relres": float(res.conv)})
+
+    # the tight 1e-8 solve: dmg without a deflation space = equilibrated
+    # f64 A-DEF2 engine with the f32 V-cycle preconditioner (solvers/dmg.py)
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    from effectivediffusivityfvm_tpu.solvers.dmg import solve_dmg
+
+    d64 = jnp.asarray(np.asarray(d), jnp.float64)
+    c64 = fvm.fvm_coefficients(d64, 0.0, 1.0)
+    s64 = make_flux_spec(d64, 0.0, 1.0)
+    x064 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float64) / n, (n, n))
+    kw = dict(tol=1e-8, max_iter=600, check_every=20, criterion="relresidual",
+              min_size=32, coarse_iters=64)
+    res, best, warm = _timed(solve_dmg, c64, s64, x064, reps=1, **kw)
+    print(f"config3 dmg(f64/f32): {int(res.iters)} iters, "
+          f"relres={float(res.conv):.2e}, deff={float(res.deff):.5f}, "
+          f"{best:.2f}s (warm {warm:.1f}s)", file=sys.stderr)
+    _emit({"config": 3,
+           "metric": "2048^2 f64-engine MGCG (dmg) to relres 1e-8",
            "seconds": round(best, 3), "iters": int(res.iters),
            "relres": float(res.conv)})
 

@@ -1,0 +1,153 @@
+"""Fused whole-CG-iteration Pallas kernel: k MGCG iterations per VMEM
+residency.
+
+With the V-cycle already fused (vcycle_vmem.py), the CG vector algebra
+around it became the dominant HBM cost: per iteration the XLA loop streams
+~x/r/p/q updates, two dot products, and the cycle's in/out — ~14
+fine-plane round trips on top of the cycle's ~7.  This kernel keeps the CG
+state (x, r, p) AND the whole coefficient pyramid resident and runs
+``k = check_every`` full PCG iterations per launch:
+
+    per-launch HBM traffic = read pyramid + x,r,p + write x,r,p
+                           ~ 10 fine-plane equivalents
+    per-ITERATION traffic  ~ 10 / k  planes  (k ~ 10: one plane-pass!)
+
+Everything else — the fine matvec, both dot products, the alpha/beta
+updates, and the entire V(nu, nu) cycle — is VPU/MXU work on VMEM data
+(measured ~70 Gcell/s once resident, vcycle_vmem.py).
+
+Per-image convergence freezing matches the batched XLA engine
+(solvers/pcg.run_pcg): the ``active`` scalar gates alpha/beta/p/rz, so a
+converged image's state is bit-frozen while the batch keeps iterating.
+``rz`` (the PCG recurrence scalar) is carried across launches in SMEM.
+
+The kernel operates on the PADDED-EVEN system (build_hierarchy(
+pad_levels=True)); padded rows are decoupled identity cells whose r/p stay
+exactly zero, so dots and updates are unaffected.  Reference hot-kernel
+analog: updateX_SOR (Deff2D.cuh:69-92) — one sweep of the reference's
+solver vs a full Krylov+multigrid iteration here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fvm import StencilCoeffs
+from .vcycle_vmem import _cycle_value, _diag_of, _load_levels, _nbsum
+
+__all__ = ["cg_steps_pallas", "cgstep_fits_vmem"]
+
+
+def cgstep_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
+    """Pyramid (~4 planes) + x/r/p in+out (x2 double-buffered) + cycle
+    temporaries — ~26 fine-plane equivalents must fit the raised VMEM
+    budget."""
+    return 26 * ny * nx * itemsize < 100 * 1024 * 1024
+
+
+def _kernel(k_ref, active_ref, rz_ref, x_ref, r_ref, p_ref, *rest,
+            shapes, omega, nu, coarse_iters, over):
+    n_levels = len(shapes)
+    coef_refs = rest[:3 * n_levels]
+    xo_ref, ro_ref, po_ref, rzo_ref = rest[3 * n_levels:]
+    lvl = _load_levels(coef_refs, n_levels)
+    aw0, an0, di0 = lvl[0]
+    diag0 = _diag_of(di0)
+    # scalars ride SMEM as full (B, 1) arrays (Mosaic's block divisibility
+    # rule rejects (1, 1) blocks); the TPU grid is sequential, so indexing
+    # by program id is race-free for both reads and the rz write-back
+    pid = pl.program_id(0)
+    act = active_ref[pid, 0]
+
+    def matvec(v):
+        return diag0 * v - _nbsum(aw0, an0, v)
+
+    def one(_, s):
+        x, r, p, rz = s
+        q = matvec(p)
+        pap = jnp.sum(p * q)
+        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0) * act
+        x = x + alpha * p
+        r = r - alpha * q
+        z = _cycle_value(r, lvl, shapes, omega, nu, coarse_iters, over)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0) * act
+        p = jnp.where(act > 0, z + beta * p, p)
+        rz = jnp.where(act > 0, rz_new, rz)
+        return (x, r, p, rz)
+
+    x, r, p, rz = jax.lax.fori_loop(
+        0, k_ref[0], one, (x_ref[0], r_ref[0], p_ref[0], rz_ref[pid, 0]))
+    xo_ref[0] = x
+    ro_ref[0] = r
+    po_ref[0] = p
+    rzo_ref[pid, 0] = rz
+
+
+@functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
+                                             "over", "interpret"))
+def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
+                    p: jax.Array, rz: jax.Array, active: jax.Array,
+                    k: jax.Array, *, omega: float = 0.8, nu: int = 2,
+                    coarse_iters: int = 32, over: float = 1.8,
+                    interpret: bool = False):
+    """Run ``k`` fused MGCG iterations on a (B, py, px) padded batch.
+
+    Args:
+      levels: pre-padded hierarchy (build_hierarchy(..., pad_levels=True)),
+        arrays (B, ny_l, nx_l); level 0 is the padded fine operator.
+      x, r, p: CG state, (B, py, px).
+      rz: recurrence scalar <r, z>, (B, 1).
+      active: 1.0 = iterate, 0.0 = frozen, (B, 1).
+      k: traced int32 iteration count (scalar prefetch).
+    Returns:
+      (x, r, p, rz) after k iterations.
+    """
+    bsz, py, px = x.shape
+    shapes = tuple((c.diag.shape[-2], c.diag.shape[-1]) for c in levels)
+    assert shapes[0] == (py, px), (shapes[0], (py, px))
+
+    img = pl.BlockSpec((1, py, px), lambda b, kk: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((bsz, 1), lambda b, kk: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    in_specs = [scal, scal, img, img, img]
+    operands = [active, rz.astype(x.dtype), x, r, p]
+    for c, (sy, sx) in zip(levels, shapes):
+        spec_l = pl.BlockSpec((1, sy, sx), lambda b, kk: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        for plane in (c.a_w, c.a_n, c.diag_inv):
+            in_specs.append(spec_l)
+            operands.append(plane)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz,),
+        in_specs=in_specs,
+        out_specs=[img, img, img, scal],
+    )
+    pyramid = sum(sy * sx for sy, sx in shapes)
+    limit = int(4.6 * (2 * (3 * pyramid + 6 * py * px) + 2 * pyramid
+                       + 8 * py * px))     # 1.15x headroom on the estimate
+    params = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(limit, 112 << 20))}
+
+    kernel = functools.partial(_kernel, shapes=shapes, omega=omega, nu=nu,
+                               coarse_iters=coarse_iters, over=over)
+    xo, ro, po, rzo = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 3
+        + [jax.ShapeDtypeStruct((bsz, 1), x.dtype)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        **params,
+    )(jnp.asarray(k, jnp.int32).reshape(1), *operands)
+    return xo, ro, po, rzo

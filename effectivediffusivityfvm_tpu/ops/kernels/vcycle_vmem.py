@@ -95,19 +95,18 @@ def vcycle_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
     return 16 * plane < 100 * 1024 * 1024
 
 
-def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
-    """The entire V(nu, nu) cycle in one VMEM residency.
-
-    refs = (aw_0, an_0, dinv_0, aw_1, ...) fine-to-coarse."""
+def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
+    """One V(nu, nu) cycle applied to the VALUE ``r0``, with all level
+    planes already loaded (``lvl[l] = (aw, an, dinv)``).  Shared by the
+    standalone whole-cycle kernel and the fused CG-iteration kernel
+    (cgstep_vmem.py)."""
     n_levels = len(shapes)
-    lvl = [tuple(ref[0] for ref in refs[3 * l:3 * l + 3])
-           for l in range(n_levels)]
 
     def smooth(l, x, b):
         aw, an, di = lvl[l]
         return (1.0 - omega) * x + omega * (b + _nbsum(aw, an, x)) * di
 
-    rs = [r_ref[0]]
+    rs = [r0]
     es = []
     for l in range(n_levels - 1):
         aw, an, di = lvl[l]
@@ -142,8 +141,20 @@ def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
         e = es[l] + over * ep
         for _ in range(nu):
             e = smooth(l, e, rs[l])
+    return e
 
-    z_ref[0] = e
+
+def _load_levels(refs, n_levels):
+    """refs = (aw_0, an_0, dinv_0, aw_1, ...) fine-to-coarse."""
+    return [tuple(ref[0] for ref in refs[3 * l:3 * l + 3])
+            for l in range(n_levels)]
+
+
+def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
+    """The entire V(nu, nu) cycle in one VMEM residency."""
+    lvl = _load_levels(refs, len(shapes))
+    z_ref[0] = _cycle_value(r_ref[0], lvl, shapes, omega, nu, coarse_iters,
+                            over)
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "coarse_iters", "over",

@@ -58,7 +58,7 @@ from .driver import SolveResult, resolve_check_every
 from .multigrid import build_hierarchy, v_cycle
 from .pcg import run_pcg
 
-__all__ = ["solve_dmg", "solve_dmg_batched"]
+__all__ = ["solve_dmg", "solve_dmg_batched", "solve_dmg_refined"]
 
 
 _MG_DEFAULTS = dict(nu=2, mg_omega=0.8, coarse_iters=32, min_size=16,
@@ -206,3 +206,53 @@ def solve_dmg_batched(coeffs, spec, x0, *, omega: float = 0.0,
         check_every=check_every, criterion=criterion, m=m_max,
         precond_f32=precond_f32, **_mg_kw(mg))
     return jax.vmap(solve_one)(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv)
+
+
+def solve_dmg_refined(coeffs, spec, x0, *, tol: float = 1e-12,
+                      max_outers: int = 12, inner_iters: int = 120,
+                      inner_tol: float = 1e-4, check_every: int = 0,
+                      member: Optional[np.ndarray] = None,
+                      defl: Optional[DeflationSpace] = None,
+                      precond_f32: bool = True, **mg) -> SolveResult:
+    """Correction-form refinement around ``solve_dmg`` — the deepest-accuracy
+    driver for extreme-contrast single images.
+
+    Iterating PCG on x directly floors at the classical f64 attainable
+    accuracy, eps·||A'||·||x'|| (measured on the 2007x1002 demo: relres
+    plateau ~6e-11, with the plateau residual sitting entirely on
+    gas-interior faces as ~2e-12 x-jitter; neither an f64 V-cycle, the
+    factored coarse solve, nor longer unrestarted Krylov chains moved it).
+    Refinement solves the CORRECTION system A d = r from a zero guess each
+    outer — the attainable accuracy then scales with ||d||, which shrinks
+    with every outer, so the true residual keeps contracting to the
+    representation floor.  Host-level outer loop doubles as relay-safe
+    segmentation (each inner solve is a bounded device program).
+
+    ``iters`` in the result counts TOTAL inner iterations; ``conv`` is the
+    true f64 relative residual of the accumulated solution.
+    """
+    if defl is None and member is not None:
+        defl = build_component_deflation(coeffs, member)
+    bmean = jnp.mean(jnp.abs(coeffs.b))
+    x = x0
+    total = 0
+    rel = float(jnp.mean(jnp.abs(coeffs.b - fvm.apply_operator(coeffs, x)))
+                / bmean)
+    deff = None
+    for _ in range(max_outers):
+        if rel <= tol:
+            break
+        r = coeffs.b - fvm.apply_operator(coeffs, x)
+        c_corr = coeffs._replace(b=r)
+        res = solve_dmg(c_corr, spec, jnp.zeros_like(x), tol=inner_tol,
+                        max_iter=inner_iters, check_every=check_every,
+                        criterion="relresidual", defl=defl,
+                        precond_f32=precond_f32, **mg)
+        x = x + res.x
+        total += int(res.iters)
+        rel = float(jnp.mean(jnp.abs(coeffs.b - fvm.apply_operator(coeffs, x)))
+                    / bmean)
+    from ..ops.flux import boundary_deff as _bd
+
+    return SolveResult(x=x, deff=_bd(spec, x), conv=jnp.asarray(rel),
+                       iters=jnp.asarray(total, jnp.int32))

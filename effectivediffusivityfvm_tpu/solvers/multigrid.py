@@ -216,6 +216,126 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
 
 
 
+def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
+                    criterion, nu, mg_omega, coarse_iters, min_size, over,
+                    interpret=False) -> SolveResult:
+    """Batched MGCG with the whole-iteration fused kernel (cgstep_vmem.py):
+    k = check_every full PCG iterations per kernel launch, CG state resident
+    in VMEM.  Check/restart/divergence/freeze semantics mirror
+    ``pcg.run_pcg`` (chunked checks, true-residual refresh, best-iterate
+    snapshot); monitors are evaluated on the physical (unpadded) cells.
+    """
+    from ..ops.kernels.cgstep_vmem import cg_steps_pallas
+    from ..ops.kernels.vcycle_vmem import v_cycle_pallas
+
+    bsz, ny, nx = coeffs.b.shape
+    levels = build_hierarchy(coeffs, min_size=min_size, pad_levels=True)
+    lvl0 = levels[0]
+    py, px = lvl0.diag.shape[-2], lvl0.diag.shape[-1]
+    pad = (py != ny) or (px != nx)
+    dtype = x0.dtype
+    tol_ = jnp.asarray(tol, dtype)
+
+    def pad_to(a):
+        return jnp.pad(a, [(0, 0), (0, py - ny), (0, px - nx)]) if pad else a
+
+    def unpad(a):
+        return a[..., :ny, :nx] if pad else a
+
+    b_p = lvl0.b
+    x_p = pad_to(x0)
+
+    def matvec(v):
+        return fvm.apply_operator(lvl0, v)
+
+    def cycle(r):
+        return v_cycle_pallas(levels, r, omega=mg_omega,
+                              coarse_iters=coarse_iters, over=over, nu=nu,
+                              interpret=interpret)
+
+    def mean_abs(v):
+        return jnp.mean(jnp.abs(unpad(v)), axis=(-2, -1))
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=(-2, -1))
+
+    def expand(v):
+        return v[:, None, None]
+
+    bscale = mean_abs(b_p) if criterion == "relresidual" else None
+
+    def deff_fn(xp):
+        return boundary_deff(spec, unpad(xp))
+
+    def fresh(xp):
+        r = b_p - matvec(xp)
+        z = cycle(r)
+        return r, z, dot(r, z)
+
+    def cond(c):
+        pc, it = c[8], c[5]
+        return jnp.any(tol_ < jnp.abs(pc)) & (it < max_iter)
+
+    def body(c):
+        x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best = c
+        active = tol_ < jnp.abs(pc)
+        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        x, r, p, rz1 = cg_steps_pallas(
+            levels, x, r, p, rz[:, None], active.astype(dtype)[:, None], k,
+            omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
+            interpret=interpret)
+        rz = rz1[:, 0]
+        it_new = it + k
+        iters = iters + jnp.where(active, k, 0)
+        do_check = ((it_new - 1) % check_every) == 0
+
+        r_true, z_true, rz_true = fresh(x)
+        refresh = expand(do_check & active)
+        r = jnp.where(refresh, r_true, r)
+        p = jnp.where(refresh, z_true, p)
+        rz = jnp.where(do_check & active, rz_true, rz)
+
+        r_mean = mean_abs(r_true)
+        improved = do_check & active & (r_mean < best)
+        x_best = jnp.where(expand(improved), x, x_best)
+        best = jnp.where(improved, r_mean, best)
+        diverged = do_check & active & (
+            ~jnp.isfinite(r_mean) | (r_mean > 1e3 * best))
+
+        deff_new = deff_fn(x)
+        if criterion == "deff":
+            pc_new = (deff_old - deff_new) / deff_old
+        elif criterion == "relresidual":
+            pc_new = r_mean / bscale
+        else:
+            pc_new = r_mean
+
+        upd = do_check & active
+        deff = jnp.where(upd, deff_new, deff)
+        if criterion == "deff":
+            deff_old = jnp.where(upd, deff_new, deff_old)
+        pc = jnp.where(upd, pc_new, pc)
+        pc = jnp.where(diverged, jnp.zeros_like(pc), pc)
+        conv = jnp.where(upd, pc_new, conv)
+        return (x, r, p, rz, _z, it_new, deff, deff_old, pc, conv, iters,
+                x_best, best)
+
+    r0, z0, rz0 = fresh(x_p)
+    scal = lambda v: jnp.full((bsz,), v, dtype)
+    init = (x_p, r0, z0, rz0, jnp.zeros((), dtype), jnp.asarray(0, jnp.int32),
+            scal(1.0), scal(5.0), scal(100.0), scal(100.0),
+            jnp.zeros((bsz,), jnp.int32), x_p, mean_abs(r0))
+    out = jax.lax.while_loop(cond, body, init)
+    x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best = out
+    deff_best = deff_fn(x_best)
+    if criterion == "relresidual":
+        conv = best / bscale
+    elif criterion != "deff":
+        conv = best
+    return SolveResult(x=unpad(x_best), deff=deff_best, conv=conv,
+                       iters=iters)
+
+
 def _pallas_auto(coeffs, nu1, nu2, min_size) -> bool:
     """Default ON for the fused Pallas V-cycle: real TPU, fp32, the V(1,1)
     shape the kernel implements, and a fine level that fits VMEM."""
@@ -236,6 +356,31 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                use_pallas=None, pallas_interpret=False):
     if use_pallas is None:
         use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
+        if use_pallas:
+            from ..ops.kernels.cgstep_vmem import cgstep_fits_vmem
+
+            ny, nx = coeffs.diag.shape[-2], coeffs.diag.shape[-1]
+            if cgstep_fits_vmem(ny + ny % 2, nx + nx % 2):
+                use_pallas = "cgstep"
+
+    if use_pallas == "cgstep":
+        # whole-iteration fusion: CG state + pyramid resident in VMEM for
+        # check_every iterations per launch (ops/kernels/cgstep_vmem.py)
+        if nu1 != nu2:
+            raise ValueError("the fused CG kernel implements V(nu, nu)")
+        hier_coeffs = coeffs if batched else jax.tree.map(
+            lambda a: a[None], coeffs)
+        hier_spec = spec if batched else jax.tree.map(
+            lambda a: jnp.asarray(a)[None], spec)
+        res = _run_mgcg_fused(
+            hier_coeffs, hier_spec, x0 if batched else x0[None],
+            tol=tol, max_iter=max_iter, check_every=check_every,
+            criterion=criterion, nu=nu1, mg_omega=omega,
+            coarse_iters=coarse_iters, min_size=min_size, over=over,
+            interpret=pallas_interpret)
+        if not batched:
+            res = jax.tree.map(lambda a: a[0], res)
+        return res
 
     if use_pallas:
         from ..ops.kernels.vcycle_vmem import v_cycle_pallas

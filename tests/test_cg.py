@@ -296,3 +296,15 @@ class TestDeflatedMultigrid:
         scaled = s * _coarse_apply(defl, s * r, weight=1.0 / s)
         np.testing.assert_allclose(np.asarray(scaled), np.asarray(raw),
                                    rtol=1e-10, atol=1e-12)
+
+    def test_dmg_refined_converges(self, rng):
+        from effectivediffusivityfvm_tpu.solvers.dmg import solve_dmg_refined
+
+        c, spec, x0, gas = self._blobs(rng)
+        res = solve_dmg_refined(c, spec, x0, tol=1e-10, max_outers=8,
+                                inner_iters=200, inner_tol=1e-4,
+                                check_every=10, member=gas)
+        assert float(res.conv) <= 1e-9
+        xd = spla.spsolve(to_sparse(c), np.asarray(c.b).ravel()).reshape(x0.shape)
+        deff_direct = float(boundary_deff(spec, jnp.asarray(xd)))
+        np.testing.assert_allclose(float(res.deff), deff_direct, rtol=1e-7)

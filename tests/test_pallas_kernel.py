@@ -158,3 +158,64 @@ class TestTPUSmoke:
         scale = float(jnp.max(jnp.abs(z_ref)))
         np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
                                    atol=1e-4 * scale)
+
+
+class TestFusedCGStep:
+    """Whole-CG-iteration fused kernel (ops/kernels/cgstep_vmem.py) vs the
+    XLA MGCG engine — same algorithm, same check/restart schedule."""
+
+    def _problem(self, rng, bsz=3, ny=16, nx=24, contrast=1e4):
+        from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg_batched
+
+        d = np.exp(rng.uniform(0, np.log(contrast), (bsz, ny, nx)))
+        dj = jnp.asarray(d, jnp.float64)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (bsz, ny, nx))
+        return solve_mgcg_batched, coeffs, spec, x0
+
+    @pytest.mark.parametrize("shape", [(16, 24), (15, 23)])
+    def test_fused_matches_xla_engine(self, rng, shape):
+        ny, nx = shape
+        solve, coeffs, spec, x0 = self._problem(rng, ny=ny, nx=nx)
+        kw = dict(tol=1e-9, max_iter=500, check_every=10,
+                  criterion="residual", nu1=2, nu2=2)
+        ref = solve(coeffs, spec, x0, use_pallas=False, **kw)
+        got = solve(coeffs, spec, x0, use_pallas="cgstep",
+                    pallas_interpret=True, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-9)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-6, atol=1e-9)
+        assert np.all(np.abs(np.asarray(got.iters) - np.asarray(ref.iters)) <= 10)
+
+    def test_fused_freezes_converged_images(self, rng):
+        solve, coeffs, spec, x0 = self._problem(rng, bsz=3, contrast=1e6)
+        kw = dict(tol=1e-8, max_iter=800, check_every=10,
+                  criterion="residual", nu1=2, nu2=2)
+        got = solve(coeffs, spec, x0, use_pallas="cgstep",
+                    pallas_interpret=True, **kw)
+        solos = [
+            solve(jax.tree.map(lambda a, k=k: a[k:k+1], coeffs),
+                  jax.tree.map(lambda a, k=k: jnp.asarray(a)[k:k+1], spec),
+                  x0[k:k+1], use_pallas="cgstep", pallas_interpret=True, **kw)
+            for k in range(3)
+        ]
+        for k, solo in enumerate(solos):
+            np.testing.assert_allclose(float(got.deff[k]), float(solo.deff[0]),
+                                       rtol=1e-9)
+            assert int(got.iters[k]) == int(solo.iters[0])
+
+    def test_fused_single_image_wrapper(self, rng):
+        from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg
+
+        _, coeffs, spec, x0 = self._problem(rng, bsz=1)
+        c1 = jax.tree.map(lambda a: a[0], coeffs)
+        s1 = jax.tree.map(lambda a: jnp.asarray(a)[0], spec)
+        kw = dict(tol=1e-9, max_iter=500, check_every=10, criterion="residual",
+                  nu1=2, nu2=2)
+        ref = solve_mgcg(c1, s1, x0[0], use_pallas=False, **kw)
+        got = solve_mgcg(c1, s1, x0[0], use_pallas="cgstep",
+                         pallas_interpret=True, **kw)
+        np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-8)
