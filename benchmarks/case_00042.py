@@ -60,11 +60,25 @@ def main():
     x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (ny, nx)) + 0.0
 
     from effectivediffusivityfvm_tpu.solvers.deflation import (
-        build_component_deflation)
+        DeflationSpace, build_component_deflation)
 
     t0 = time.time()
-    defl = build_component_deflation(coeffs, gas_np)
-    print(f"deflation space: m={defl.m} ({time.time() - t0:.1f}s)",
+    cache = "parity_out/case_00042_defl.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        defl = DeflationSpace(
+            labels=jnp.asarray(z["labels"]),
+            e_hat_inv=jnp.asarray(z["e_hat_inv"]),
+            dhalf_inv=jnp.asarray(z["dhalf_inv"]), m=int(z["m"]))
+        src = "cached"
+    else:
+        defl = build_component_deflation(coeffs, gas_np)
+        os.makedirs("parity_out", exist_ok=True)
+        np.savez_compressed(cache, labels=np.asarray(defl.labels),
+                            e_hat_inv=np.asarray(defl.e_hat_inv),
+                            dhalf_inv=np.asarray(defl.dhalf_inv), m=defl.m)
+        src = "built (cached for reruns)"
+    print(f"deflation space: m={defl.m} {src} ({time.time() - t0:.1f}s)",
           file=sys.stderr)
 
     # Correction-form refinement (solve_dmg_refined): each outer solves the

@@ -116,7 +116,12 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
         z = w * v_cycle(levels, (w * r).astype(pdt), nu1=nu, nu2=nu,
                         omega=mg_omega, coarse_iters=coarse_iters,
                         over=over).astype(dtype)
-        # A-DEF2: M^-1 r = (I - Q A) z + Q r
+        # A-DEF2: M^-1 r = (I - Q A) z + Q r.  Deliberately NOT folded to
+        # the one-apply z + Q(r - A z): algebraically identical, but the
+        # folded form floors the refined demo-image solve at 3.5e-11 where
+        # this form keeps contracting to 6e-12 (measured on the chip, 3581
+        # vs 1901 iterations; the ~1e6 coarse-space amplification makes the
+        # two forms' rounding paths genuinely different).
         return z - q_apply(matvec(z)) + q_apply(r)
 
     x0e = x0 / s
