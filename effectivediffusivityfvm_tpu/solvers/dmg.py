@@ -33,8 +33,11 @@ established by three measured findings (debug history, round 2):
      two matvecs + vector algebra per iteration.
 
 Measured on the full 00042.jpg f64 system: ~1 digit per ~10 iterations
-through the plateaus that stop dcg (3.7e-4) and plain MGCG (~1e-5), to
-relres <= 1e-10.
+through the plateaus that stop dcg (3.7e-4) and plain MGCG (~1e-5), down
+to the classical f64 attainable-accuracy plateau ~6e-11; the
+correction-form refinement (:func:`solve_dmg_refined`) continues through
+that to relres 6e-12 with boundary/all-cuts flux agreement 4e-6
+(docs/PERFORMANCE.md case study, parity_out/case_00042_dmg.json).
 
 Accepts the gas ``member`` mask (host bool array) like ``dcg``; with no
 components it degenerates to equilibrated MGCG (still a strong solver for

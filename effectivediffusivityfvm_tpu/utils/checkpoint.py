@@ -25,11 +25,28 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["save_state", "load_state", "checkpointed_solve"]
+__all__ = ["save_state", "load_state", "checkpointed_solve",
+           "AsyncOrbaxSaver"]
 
 
-def save_state(path: str, x, iters=0, meta: Optional[Dict[str, Any]] = None) -> None:
-    """Atomically write a solve checkpoint (field + progress)."""
+def save_state(path: str, x, iters=0, meta: Optional[Dict[str, Any]] = None,
+               backend: str = "npz") -> None:
+    """Atomically write a solve checkpoint (field + progress).
+
+    ``backend="npz"`` (default): single compressed file, dependency-free.
+    ``backend="orbax"``: an orbax-checkpoint PyTree directory — the
+    ecosystem-standard format (works with orbax tooling, sharded arrays,
+    and async emission via :class:`AsyncOrbaxSaver`).
+    """
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        payload = {"x": np.asarray(x), "iters": np.asarray(iters)}
+        if meta:
+            payload["meta"] = {k: np.asarray(v) for k, v in meta.items()}
+        ocp.PyTreeCheckpointer().save(os.path.abspath(path), payload,
+                                      force=True)
+        return
     payload = {"x": np.asarray(x), "iters": np.asarray(iters)}
     if meta:
         for k, v in meta.items():
@@ -47,7 +64,15 @@ def save_state(path: str, x, iters=0, meta: Optional[Dict[str, Any]] = None) -> 
 
 
 def load_state(path: str):
-    """Returns (x, iters, meta) or None if no checkpoint exists."""
+    """Returns (x, iters, meta) or None if no checkpoint exists.  Orbax
+    checkpoint directories (save_state(backend="orbax")) are detected by
+    being directories."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        z = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        meta = {k: np.asarray(v) for k, v in (z.get("meta") or {}).items()}
+        return np.asarray(z["x"]), int(np.asarray(z["iters"])), meta
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
@@ -125,3 +150,40 @@ def checkpointed_solve(solve_fn, coeffs, spec, x0, *, checkpoint_path: str,
     if res is not None:
         res = res._replace(iters=np.asarray(done, dtype=np.int32))
     return res
+
+
+class AsyncOrbaxSaver:
+    """Async device-to-host checkpoint emission (aux subsystem).
+
+    Wraps ``orbax.checkpoint.AsyncCheckpointer``: ``save`` returns as soon
+    as the device buffers are snapshotted, and serialization to disk
+    overlaps the next solve segment.  Use as a context manager so the last
+    write is awaited::
+
+        with AsyncOrbaxSaver() as saver:
+            for segment in ...:
+                res = solve(...)
+                saver.save(path, res.x, iters=total, meta=...)
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, x, iters=0,
+             meta: Optional[Dict[str, Any]] = None) -> None:
+        payload = {"x": np.asarray(x), "iters": np.asarray(iters)}
+        if meta:
+            payload["meta"] = {k: np.asarray(v) for k, v in meta.items()}
+        self._ckptr.save(os.path.abspath(path), payload, force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.wait()
+        self._ckptr.close()

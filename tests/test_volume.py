@@ -256,3 +256,30 @@ class TestVolumeBatch:
         n_lines = len((tmp_path / "vb.csv").read_text().splitlines())
         volume_batch_sim(cfg, vols)   # rerun: all done, no new rows
         assert len((tmp_path / "vb.csv").read_text().splitlines()) == n_lines
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from effectivediffusivityfvm_tpu.utils.checkpoint import (
+            load_state, save_state)
+
+        x = np.linspace(0, 1, 12).reshape(3, 4)
+        save_state(str(tmp_path / "ck"), x, iters=7,
+                   meta={"deff": 1.5, "converged": 0}, backend="orbax")
+        x2, it, meta = load_state(str(tmp_path / "ck"))
+        np.testing.assert_array_equal(x2, x)
+        assert it == 7
+        assert float(meta["deff"]) == 1.5
+
+    def test_async_saver(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from effectivediffusivityfvm_tpu.utils.checkpoint import (
+            AsyncOrbaxSaver, load_state)
+
+        x = np.arange(6.0).reshape(2, 3)
+        with AsyncOrbaxSaver() as saver:
+            saver.save(str(tmp_path / "ck_async"), x, iters=3)
+        x2, it, meta = load_state(str(tmp_path / "ck_async"))
+        np.testing.assert_array_equal(x2, x)
+        assert it == 3
