@@ -1,0 +1,115 @@
+"""Batch compaction: stop paying for converged images (aux throughput).
+
+The batched solvers freeze converged images (masked updates — exact serial
+semantics) but still COMPUTE them every iteration; with the fused CG
+kernel being VPU-bound, a long-tail batch wastes its frozen members' lanes.
+This wrapper advances the batch in segments and re-packs the still-active
+images between segments, so late segments run on shrinking sub-batches.
+
+Mechanics:
+  * each segment runs ``segment`` iterations of the wrapped batched solver
+    on the active subset, warm-started from the current fields;
+  * sub-batches are padded up to power-of-two buckets (min 8) so XLA
+    compiles at most log2(B) shapes, each cached after first use;
+  * an image leaves the active set when it stopped inside its segment
+    (iters < segment) or its convergence monitor met tol.
+
+Semantics note: each segment warm-starts from the previous segment's
+returned field, which for the PCG engine is its BEST-residual iterate
+(the fp32 safety-net semantics of run_pcg).  With a strong preconditioner
+(mgcg — the datagen solver this exists for) restarts re-descend
+immediately and converged results match the unsegmented run (tested);
+weakly-preconditioned CG on a pathological image can limit-cycle on the
+repeated best-iterate restart — measured with diagonal-CG at segment=50 on
+a contrast-1e5 image — so pair compaction with mgcg, and use
+``utils.checkpoint.checkpointed_solve`` (protocol carry) for sweep-solver
+protocols.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .driver import SolveResult
+
+__all__ = ["solve_batched_compacted"]
+
+
+def _bucket(n: int, min_bucket: int = 8) -> int:
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return b
+
+
+def solve_batched_compacted(
+    solve_fn: Callable,
+    coeffs,
+    spec,
+    x0: jax.Array,
+    *,
+    tol: float,
+    max_iter: int,
+    segment: int = 0,
+    check_every: int = 0,
+    criterion: str = "residual",
+    min_bucket: int = 8,
+    **kw,
+) -> SolveResult:
+    """Run ``solve_fn`` (any batched framework solver) with inter-segment
+    compaction.  ``segment=0`` picks ``8 x check_every`` (or 80).
+    Returns the full-batch SolveResult in original image order."""
+    bsz = x0.shape[0]
+    ck = check_every or 10
+    segment = segment or 8 * ck
+
+    x_np = None           # final fields, filled as images finish
+    x_cur = x0
+    deff = np.zeros((bsz,), np.float64)
+    conv = np.full((bsz,), np.inf)
+    iters = np.zeros((bsz,), np.int64)
+    active = list(range(bsz))
+    x_store: Optional[np.ndarray] = None
+
+    while active and int(iters[active].min(initial=0)) < max_iter:
+        seg = int(min(segment, max_iter - iters[active].min()))
+        nb = _bucket(len(active), min_bucket)
+        idx = np.asarray(active + [active[0]] * (nb - len(active)), np.int64)
+        idx_j = jnp.asarray(idx)
+        sub_coeffs = jax.tree.map(lambda a: jnp.take(a, idx_j, axis=0), coeffs)
+        sub_spec = jax.tree.map(
+            lambda a: jnp.take(jnp.asarray(a), idx_j, axis=0), spec)
+        sub_x = jnp.take(x_cur, idx_j, axis=0)
+        res = solve_fn(sub_coeffs, sub_spec, sub_x, tol=tol, max_iter=seg,
+                       check_every=ck, criterion=criterion, **kw)
+        sub_iters = np.asarray(res.iters)
+        sub_conv = np.asarray(res.conv)
+        sub_deff = np.asarray(res.deff)
+        sub_x_np = np.asarray(res.x)
+        if x_store is None:
+            x_store = np.zeros((bsz,) + sub_x_np.shape[1:], sub_x_np.dtype)
+
+        still = []
+        for k, i in enumerate(active):
+            iters[i] += int(sub_iters[k])
+            conv[i] = float(sub_conv[k])
+            deff[i] = float(sub_deff[k])
+            x_store[i] = sub_x_np[k]
+            done = (int(sub_iters[k]) < seg) or (
+                np.isfinite(sub_conv[k]) and abs(sub_conv[k]) <= tol)
+            if not done and iters[i] < max_iter:
+                still.append(i)
+        active = still
+        if active:
+            x_cur = jnp.asarray(x_store)
+
+    return SolveResult(
+        x=jnp.asarray(x_store if x_store is not None else np.asarray(x0)),
+        deff=jnp.asarray(deff),
+        conv=jnp.asarray(conv),
+        iters=jnp.asarray(iters, jnp.int32),
+    )

@@ -277,7 +277,8 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         return jnp.any(tol_ < jnp.abs(pc)) & (it < max_iter)
 
     def body(c):
-        x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best = c
+        (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
+         bad) = c
         active = tol_ < jnp.abs(pc)
         k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
         x, r, p, rz1 = cg_steps_pallas(
@@ -317,22 +318,27 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         pc = jnp.where(upd, pc_new, pc)
         pc = jnp.where(diverged, jnp.zeros_like(pc), pc)
         conv = jnp.where(upd, pc_new, conv)
+        bad = bad | diverged
         return (x, r, p, rz, _z, it_new, deff, deff_old, pc, conv, iters,
-                x_best, best)
+                x_best, best, bad)
 
     r0, z0, rz0 = fresh(x_p)
     scal = lambda v: jnp.full((bsz,), v, dtype)
     init = (x_p, r0, z0, rz0, jnp.zeros((), dtype), jnp.asarray(0, jnp.int32),
             scal(1.0), scal(5.0), scal(100.0), scal(100.0),
-            jnp.zeros((bsz,), jnp.int32), x_p, mean_abs(r0))
+            jnp.zeros((bsz,), jnp.int32), x_p, mean_abs(r0),
+            jnp.zeros((bsz,), bool))
     out = jax.lax.while_loop(cond, body, init)
-    x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best = out
-    deff_best = deff_fn(x_best)
+    (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
+     bad) = out
+    # last iterate unless the divergence net fired (see pcg.run_pcg)
+    x_out = jnp.where(expand(bad), x_best, x)
+    deff_out = deff_fn(x_out)
     if criterion == "relresidual":
-        conv = best / bscale
+        conv = jnp.where(bad, best / bscale, conv)
     elif criterion != "deff":
-        conv = best
-    return SolveResult(x=unpad(x_best), deff=deff_best, conv=conv,
+        conv = jnp.where(bad, best, conv)
+    return SolveResult(x=unpad(x_out), deff=deff_out, conv=conv,
                        iters=iters)
 
 

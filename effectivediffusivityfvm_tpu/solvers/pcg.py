@@ -97,7 +97,8 @@ def run_pcg(
         return (it < max_iter) & alive
 
     def body(c):
-        x, r, z, p, rz, it, deff, deff_old, pc, conv, iters, x_best, best = c
+        (x, r, z, p, rz, it, deff, deff_old, pc, conv, iters, x_best, best,
+         bad) = c
         active = (tol_ < jnp.abs(pc)) if batched else None
         k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
         x, r, z, p, rz = jax.lax.fori_loop(
@@ -145,23 +146,30 @@ def run_pcg(
         pc = jnp.where(upd, pc_new, pc)
         pc = jnp.where(diverged, jnp.zeros_like(pc), pc)   # forces stop
         conv = jnp.where(upd, pc_new, conv)
+        bad = bad | diverged
         return (x, r, z, p, rz, it_new, deff, deff_old, pc, conv, iters,
-                x_best, best)
+                x_best, best, bad)
 
     r0, z0, rz0 = fresh(x0)
     scal = (lambda v: jnp.full(bshape, v, dtype)) if batched else (lambda v: jnp.asarray(v, dtype))
     it0 = jnp.asarray(0, jnp.int32)
     iters0 = jnp.zeros(bshape, jnp.int32) if batched else it0
+    bad0 = (jnp.zeros(bshape, bool) if batched else jnp.asarray(False))
     init = (x0, r0, z0, z0, rz0, it0,
             scal(1.0), scal(5.0), scal(100.0), scal(100.0), iters0,
-            x0, _mean_abs(r0))
+            x0, _mean_abs(r0), bad0)
     out = jax.lax.while_loop(cond, body, init)
-    x, r, z, p, rz, it, deff, deff_old, pc, conv, iters, x_best, best = out
-    # Return the best iterate seen: equals the final x in normal convergence,
-    # and the pre-divergence state when the safety net fired.
-    deff_best = deff_fn(x_best)
+    (x, r, z, p, rz, it, deff, deff_old, pc, conv, iters, x_best, best,
+     bad) = out
+    # Healthy images return their LAST iterate (best for warm
+    # restarts/continuation — repeatedly restarting a solve from the
+    # best-residual snapshot can limit-cycle, measured in
+    # solvers/compact.py); images whose divergence safety net fired return
+    # the pre-divergence best, with conv reporting that iterate's residual.
+    x_out = jnp.where(expand(bad) if batched else bad, x_best, x)
+    deff_out = deff_fn(x_out)
     if criterion == "relresidual":
-        conv = best / bscale   # report in the criterion's own (scale-free) units
+        conv = jnp.where(bad, best / bscale, conv)
     elif criterion != "deff":
-        conv = best
-    return SolveResult(x=x_best, deff=deff_best, conv=conv, iters=iters)
+        conv = jnp.where(bad, best, conv)
+    return SolveResult(x=x_out, deff=deff_out, conv=conv, iters=iters)

@@ -151,3 +151,53 @@ class TestMGCG:
         )
         res = single_sim(cfg, img=img, write_output=False)
         np.testing.assert_allclose(res.deff, 0.55, rtol=1e-6)
+
+
+class TestCompaction:
+    """Inter-segment batch compaction (solvers/compact.py)."""
+
+    def test_compacted_matches_plain(self, rng):
+        from effectivediffusivityfvm_tpu.ops import fvm
+        from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+        from effectivediffusivityfvm_tpu.solvers.compact import solve_batched_compacted
+        from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg_batched
+
+        bsz, ny, nx = 5, 24, 16
+        d = np.exp(rng.uniform(0, np.log(1e4), (bsz, ny, nx)))
+        dj = jnp.asarray(d)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx, (bsz, ny, nx))
+        kw = dict(tol=1e-9, max_iter=500, check_every=10, criterion="residual")
+        ref = solve_mgcg_batched(coeffs, spec, x0, **kw)
+        got = solve_batched_compacted(solve_mgcg_batched, coeffs, spec, x0,
+                                      segment=40, min_bucket=2, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-9)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-7)
+        # total work within one segment-restart period of the plain run
+        assert np.all(np.asarray(got.iters) <= np.asarray(ref.iters) + 40)
+
+    def test_compaction_shrinks_buckets(self, rng):
+        from effectivediffusivityfvm_tpu.ops import fvm
+        from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+        from effectivediffusivityfvm_tpu.solvers.compact import solve_batched_compacted
+
+        from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg_batched
+
+        # one much-harder image dominates the tail
+        bsz, n = 4, 32
+        ds = [np.ones((n, n)), np.ones((n, n)), np.ones((n, n)),
+              np.exp(rng.uniform(0, np.log(1e6), (n, n)))]
+        dj = jnp.asarray(np.stack(ds))
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float64) / n, (bsz, n, n))
+        got = solve_batched_compacted(
+            solve_mgcg_batched, coeffs, spec, x0, tol=1e-11, max_iter=2_000,
+            segment=20, check_every=10, criterion="residual", min_bucket=2)
+        assert np.all(np.asarray(got.conv) <= 1e-11)
+        # easy (constant-D) images finish almost immediately; the hard one
+        # keeps iterating alone
+        it = np.asarray(got.iters)
+        assert it[3] > 4 * it[0]
