@@ -136,9 +136,13 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     pyramid = sum(sy * sx for sy, sx in shapes)
     limit = int(4.6 * (2 * (3 * pyramid + 6 * py * px) + 2 * pyramid
                        + 8 * py * px))     # 1.15x headroom on the estimate
+    # Mosaic schedules WITHIN the budget (double-buffering adapts), but a
+    # marginal budget fails at some batch counts (measured: batch 64 fit a
+    # 37 MB budget, batch 128 needed ~400 KB more).  Physical VMEM is
+    # ~128 MB; grant 2x the estimate up to 112 MB.
     params = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(limit, 112 << 20))}
+            vmem_limit_bytes=min(max(2 * limit, 48 << 20), 112 << 20))}
 
     kernel = functools.partial(_kernel, shapes=shapes, omega=omega, nu=nu,
                                coarse_iters=coarse_iters, over=over)
