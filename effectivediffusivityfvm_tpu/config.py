@@ -63,6 +63,10 @@ class SimulationConfig:
                                       #   (fixes reference all-or-nothing, PDF §3.6)
     use_floodfill_native: bool = True # use the C++ preprocess library if built
     seed_both_boundaries: bool = True # flood-fill seeding intent (Deff2D.cuh:593-605)
+    compact_batches: bool = False     # re-pack active images between solve
+                                      #   segments (solvers/compact.py) — wins
+                                      #   on large tail-heavy batches; pair
+                                      #   with solver=mgcg/cg
     devices: int = 1                  # devices for the pipeline mesh: 1 = single
                                       #   device (default), -1 = all visible,
                                       #   n = first n.  SURVEY §2.6: dp is the
@@ -136,6 +140,7 @@ _KEYMAP = {
     "Criterion:": ("criterion", str),
     "ImageDir:": ("image_dir", str),
     "BatchSize:": ("batch_size", lambda v: int(float(v))),
+    "Compact:": ("compact_batches", lambda v: bool(int(float(v)))),
     "Devices:": ("devices", lambda v: int(float(v))),
     "DP:": ("dp", lambda v: int(float(v))),
     "SP:": ("sp", lambda v: int(float(v))),

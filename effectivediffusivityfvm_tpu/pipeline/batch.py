@@ -203,6 +203,16 @@ def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
     if mesh is not None:
         res, dt = time_fn(_solve_group_on_mesh, cfg, mesh, coeffs, spec, x0,
                           cfg.convergence, cfg.max_iter)
+    elif cfg.compact_batches and cfg.solver in ("cg", "mgcg"):
+        from ..solvers.compact import solve_batched_compacted
+        from ..solvers.dispatch import _lookup
+
+        res, dt = time_fn(
+            solve_batched_compacted, _lookup(cfg.solver, batched=True),
+            coeffs, spec, x0,
+            omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
+            check_every=cfg.check_every, criterion=cfg.criterion,
+        )
     else:
         res, dt = time_fn(
             solve_batched,

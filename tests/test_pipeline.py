@@ -303,3 +303,23 @@ class TestBatchedCGIR:
             assert float(batched.conv[k]) < 10 * max(float(one.conv), 1e-16)
             np.testing.assert_allclose(
                 float(batched.deff[k]), float(one.deff), rtol=1e-9)
+
+
+class TestCompactPipeline:
+    def test_batch_sim_compacted_matches_plain(self, tmp_path):
+        imgs = [parallel_slab(24, e) for e in (0.25, 0.5, 0.75)]
+
+        def run(name, **kw):
+            cfg = SimulationConfig(
+                n_phase=2, batch_flag=True, d_fluid=1.0, d_solid=0.1,
+                convergence=1e-8, max_iter=2000, check_every=10,
+                dtype="float64", criterion="residual", solver="mgcg",
+                output_name=str(tmp_path / name), num_images=3,
+                incremental_output=False, **kw)
+            return batch_sim(cfg, imgs=imgs)
+
+        ref = run("a.csv")
+        got = run("b.csv", compact_batches=True)
+        cols = [0, 1, 2, 3, 5, 7, 8]
+        np.testing.assert_allclose(got[:, cols], ref[:, cols], rtol=1e-12)
+        np.testing.assert_allclose(got[:, 6], ref[:, 6], rtol=1e-6, atol=1e-12)
