@@ -159,6 +159,24 @@ class TestTPUSmoke:
         np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
                                    atol=1e-4 * scale)
 
+    def test_cgstep_kernel_compiled(self):
+        from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg_batched
+
+        rng = np.random.default_rng(2)
+        d = jnp.asarray(
+            np.where(rng.random((2, 256, 256)) < 0.6, 1.0, 1e-3), jnp.float32)
+        c = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(d, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(d, 0.0, 1.0)
+        x0 = jnp.broadcast_to(
+            jnp.arange(256, dtype=jnp.float32) / 256, (2, 256, 256))
+        kw = dict(tol=1e-6, max_iter=500, check_every=10, criterion="residual",
+                  nu1=2, nu2=2)
+        got = solve_mgcg_batched(c, spec, x0, use_pallas="cgstep", **kw)
+        ref = solve_mgcg_batched(c, spec, x0, use_pallas=False, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-6)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-3)
+
 
 class TestFusedCGStep:
     """Whole-CG-iteration fused kernel (ops/kernels/cgstep_vmem.py) vs the
