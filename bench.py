@@ -87,7 +87,9 @@ def main():
     # Measured ladder at this scale: 82 solves/s (XLA V(1,1)) -> 155 (fused
     # V(1,1) cycle) -> 262 (fused V(2,2) cycle, min_size=16/coarse_iters=32)
     # -> 434 (whole-CG-iteration fusion: CG state + pyramid resident in
-    # VMEM for check_every iterations per launch, auto-selected).
+    # VMEM for check_every iterations per launch, auto-selected) -> 530
+    # (frozen images skip their compute inside the sequential kernel grid
+    # via pl.when predication - in-kernel batch compaction).
     kw = dict(tol=TOL, max_iter=3_000, check_every=10, criterion="residual",
               min_size=16, coarse_iters=32, nu1=2, nu2=2, over=1.8)
 

@@ -56,38 +56,53 @@ def _kernel(k_ref, active_ref, rz_ref, x_ref, r_ref, p_ref, *rest,
     n_levels = len(shapes)
     coef_refs = rest[:3 * n_levels]
     xo_ref, ro_ref, po_ref, rzo_ref = rest[3 * n_levels:]
-    lvl = _load_levels(coef_refs, n_levels)
-    aw0, an0, di0 = lvl[0]
-    diag0 = _diag_of(di0)
     # scalars ride SMEM as full (B, 1) arrays (Mosaic's block divisibility
     # rule rejects (1, 1) blocks); the TPU grid is sequential, so indexing
     # by program id is race-free for both reads and the rz write-back
     pid = pl.program_id(0)
     act = active_ref[pid, 0]
 
-    def matvec(v):
-        return diag0 * v - _nbsum(aw0, an0, v)
+    # The TPU grid is SEQUENTIAL: total kernel time is the sum of per-image
+    # work, so predicating the whole body on the freeze flag makes frozen
+    # images cost only their (pipelined) block DMA — the batched engine's
+    # per-image freezing stops COSTING, not just mutating.  This is the
+    # in-kernel form of batch compaction (solvers/compact.py) without the
+    # host-loop dispatch overhead.
+    @pl.when(act > 0)
+    def _run():
+        lvl = _load_levels(coef_refs, n_levels)
+        aw0, an0, di0 = lvl[0]
+        diag0 = _diag_of(di0)
 
-    def one(_, s):
-        x, r, p, rz = s
-        q = matvec(p)
-        pap = jnp.sum(p * q)
-        alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0) * act
-        x = x + alpha * p
-        r = r - alpha * q
-        z = _cycle_value(r, lvl, shapes, omega, nu, coarse_iters, over)
-        rz_new = jnp.sum(r * z)
-        beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0) * act
-        p = jnp.where(act > 0, z + beta * p, p)
-        rz = jnp.where(act > 0, rz_new, rz)
-        return (x, r, p, rz)
+        def matvec(v):
+            return diag0 * v - _nbsum(aw0, an0, v)
 
-    x, r, p, rz = jax.lax.fori_loop(
-        0, k_ref[0], one, (x_ref[0], r_ref[0], p_ref[0], rz_ref[pid, 0]))
-    xo_ref[0] = x
-    ro_ref[0] = r
-    po_ref[0] = p
-    rzo_ref[pid, 0] = rz
+        def one(_, s):
+            x, r, p, rz = s
+            q = matvec(p)
+            pap = jnp.sum(p * q)
+            alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+            x = x + alpha * p
+            r = r - alpha * q
+            z = _cycle_value(r, lvl, shapes, omega, nu, coarse_iters, over)
+            rz_new = jnp.sum(r * z)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+            p = z + beta * p
+            return (x, r, p, rz_new)
+
+        x, r, p, rz = jax.lax.fori_loop(
+            0, k_ref[0], one, (x_ref[0], r_ref[0], p_ref[0], rz_ref[pid, 0]))
+        xo_ref[0] = x
+        ro_ref[0] = r
+        po_ref[0] = p
+        rzo_ref[pid, 0] = rz
+
+    @pl.when(act <= 0)
+    def _skip():
+        xo_ref[0] = x_ref[0]
+        ro_ref[0] = r_ref[0]
+        po_ref[0] = p_ref[0]
+        rzo_ref[pid, 0] = rz_ref[pid, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
