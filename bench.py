@@ -89,8 +89,10 @@ def main():
     # -> 434 (whole-CG-iteration fusion: CG state + pyramid resident in
     # VMEM for check_every iterations per launch, auto-selected) -> 530
     # (frozen images skip their compute inside the sequential kernel grid
-    # via pl.when predication - in-kernel batch compaction).
-    kw = dict(tol=TOL, max_iter=3_000, check_every=10, criterion="residual",
+    # via pl.when predication - in-kernel batch compaction) -> 599
+    # (check_every=20: half the restart/monitor overhead; V(2,2) still beats
+    # V(1,1)/V(3,3) in the compute-bound regime - sweep in git history).
+    kw = dict(tol=TOL, max_iter=3_000, check_every=20, criterion="residual",
               min_size=16, coarse_iters=32, nu1=2, nu2=2, over=1.8)
 
     # warmup: compile + one full solve

@@ -232,15 +232,16 @@ class TestDeflatedMultigrid:
         np.testing.assert_allclose(float(res.deff), deff_direct, rtol=1e-8)
 
     def test_dmg_converges_past_dcg_tolerances(self, rng):
-        """The headline property: dmg reaches equilibrated relres ~1e-12 on
-        extreme-contrast blob media where diagonal-preconditioned deflation
-        needs far more iterations (00042.jpg-class conditioning)."""
+        """The headline property: dmg converges to equilibrated relres 1e-10
+        on extreme-contrast blob media where diagonal-preconditioned
+        deflation plateaus around 1e-4 (00042.jpg-class conditioning)."""
         from effectivediffusivityfvm_tpu.solvers.dmg import solve_dmg
 
         c, spec, x0, gas = self._blobs(rng)
-        res = solve_dmg(c, spec, x0, tol=1e-12, max_iter=2_000,
+        res = solve_dmg(c, spec, x0, tol=1e-10, max_iter=2_000,
                         check_every=10, member=gas)
-        assert float(res.conv) <= 1e-11
+        assert int(res.iters) < 2_000   # stopped on tol, not the cap
+        assert float(res.conv) <= 1e-10
 
     def test_dmg_without_components_matches_direct(self, rng):
         from effectivediffusivityfvm_tpu.solvers.dmg import solve_dmg
