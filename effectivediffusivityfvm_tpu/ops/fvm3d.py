@@ -35,6 +35,7 @@ __all__ = [
     "jacobi_sweep_3d",
     "apply_operator_3d",
     "residual_3d",
+    "equilibrate_3d",
     "FluxSpec3D",
     "make_flux_spec_3d",
     "boundary_deff_3d",
@@ -143,6 +144,23 @@ def apply_operator_3d(c: StencilCoeffs3D, x: jax.Array) -> jax.Array:
 
 def residual_3d(c: StencilCoeffs3D, x: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(c.b - apply_operator_3d(c, x)), axis=(-3, -2, -1))
+
+
+def equilibrate_3d(c: StencilCoeffs3D):
+    """Symmetric diagonal equilibration A' = S A S, S = diag(1/sqrt(diag))
+    (3D mirror of ops/fvm.equilibrate; see its docstring for why)."""
+    s = jnp.sqrt(c.diag_inv)
+    one = jnp.ones_like(c.diag)
+    return StencilCoeffs3D(
+        a_w=c.a_w * s * _shift(s, -1, -1),
+        a_e=c.a_e * s * _shift(s, -1, +1),
+        a_n=c.a_n * s * _shift(s, -2, -1),
+        a_s=c.a_s * s * _shift(s, -2, +1),
+        a_u=c.a_u * s * _shift(s, -3, -1),
+        a_d=c.a_d * s * _shift(s, -3, +1),
+        diag=one, diag_inv=one,
+        b=c.b * s,
+    ), s
 
 
 class FluxSpec3D(NamedTuple):

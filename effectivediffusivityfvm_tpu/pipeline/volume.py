@@ -59,8 +59,9 @@ def _effective_solver_3d(cfg) -> str:
     """3D solver actually used: cgir/dcg/jacobi_pallas have no 3D variant yet
     and substitute mgcg — loudly, and the symmetric-assembly flag follows the
     substitute (advisor round-1 finding: a silent swap ran MGCG on the
-    unsymmetrized masked operator)."""
-    if cfg.solver in _SOLVERS:
+    unsymmetrized masked operator).  ``dmg`` has a native 3D implementation
+    (solvers/dmg3d.py)."""
+    if cfg.solver in _SOLVERS or cfg.solver == "dmg":
         return cfg.solver
     warnings.warn(
         f"solver {cfg.solver!r} has no 3D implementation; using 'mgcg'",
@@ -68,8 +69,15 @@ def _effective_solver_3d(cfg) -> str:
     return "mgcg"
 
 
-def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None):
-    fn = _SOLVERS[name or _effective_solver_3d(cfg)]
+def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None, gas_np=None):
+    name = name or _effective_solver_3d(cfg)
+    if name == "dmg":
+        from ..solvers.dmg3d import solve_dmg_3d
+
+        return solve_dmg_3d(coeffs, spec, x, tol=tol, max_iter=max_iter,
+                            check_every=cfg.check_every,
+                            criterion=cfg.criterion, member=gas_np)
+    fn = _SOLVERS[name]
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
               check_every=cfg.check_every, criterion=cfg.criterion)
 
@@ -139,7 +147,12 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
     x = _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype)
 
     solver3d = _effective_solver_3d(cfg)
-    symmetric = solver3d in ("cg", "mgcg")
+    symmetric = solver3d in ("cg", "mgcg", "dmg")
+    gas_np = ((phases.three_phase_classes(vol) == phases.GAS)
+              if solver3d == "dmg" else None)
+    if gas_np is not None:
+        gas_np = volume.amplify_3d(gas_np, cfg.mesh_amp_y, cfg.mesh_amp_y,
+                                   cfg.mesh_amp_x) & ~mask_np
 
     def build(dcg_val):
         d_field = jnp.asarray(phases.d_field_from_classes(
@@ -150,7 +163,9 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
         return coeffs, spec
 
     stage_max_iter = 1_000_000 if cfg.solver in ("jacobi", "rbsor") else cfg.max_iter
-    for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+    # dmg is κ-robust; skip the homotopy pre-stages (see pipeline/single.py)
+    stages = [] if solver3d == "dmg" else dcg_stages(cfg.d_gas)
+    for stage_num, dcg_t in enumerate(stages, start=1):
         vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
         coeffs, spec = build(dcg_t)
         res = _solve3d(cfg, coeffs, spec, x, cfg.convergence * 10,
@@ -159,7 +174,7 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
 
     coeffs, spec = build(cfg.d_gas)
     res, time_s = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence,
-                          cfg.max_iter, solver3d)
+                          cfg.max_iter, solver3d, gas_np)
     deff = float(res.deff) / cfg.d_fluid
     result = VolumeResult(deff=deff, porosity=0.0, path_flag=ff.path_flag,
                           time_s=time_s, n_elements=classes.size,
@@ -203,7 +218,12 @@ def _group_by_shape(vols, indices, max_group):
 
 
 def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter):
-    fn = _BATCHED_SOLVERS[_effective_solver_3d(cfg)]
+    name = _effective_solver_3d(cfg)
+    if name == "dmg":
+        warnings.warn("dmg has no batched 3D variant yet; using 'mgcg'",
+                      stacklevel=3)
+        name = "mgcg"
+    fn = _BATCHED_SOLVERS[name]
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
               check_every=cfg.check_every, criterion=cfg.criterion)
 

@@ -3,6 +3,8 @@ run manifest)."""
 
 import os
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -283,3 +285,82 @@ class TestOrbaxCheckpoint:
         x2, it, meta = load_state(str(tmp_path / "ck_async"))
         np.testing.assert_array_equal(x2, x)
         assert it == 3
+
+
+class TestDmg3D:
+    """3D deflated MGCG (solvers/dmg3d.py)."""
+
+    def _blob_volume(self, n=16, contrast=1.2375e6):
+        rng = np.random.default_rng(5)
+        vol = np.full((n, n, n), 150, np.uint8)       # fluid
+        for _ in range(3):
+            c = rng.integers(4, n - 4, 3)
+            r = rng.integers(2, 4)
+            zz, yy, xx = np.ogrid[:n, :n, :n]
+            blob = ((zz - c[0])**2 + (yy - c[1])**2 + (xx - c[2])**2) < r*r
+            vol[blob] = 0                             # gas
+        solid = rng.random((n, n, n)) < 0.08
+        vol[solid] = 255
+        return vol
+
+    def test_dmg3d_matches_mgcg_deff(self):
+        import jax
+        from effectivediffusivityfvm_tpu.models import volume as vmod
+        from effectivediffusivityfvm_tpu.ops import fvm3d
+        from effectivediffusivityfvm_tpu.solvers.dmg3d import solve_dmg_3d
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import solve_mgcg_3d
+        from effectivediffusivityfvm_tpu.models import phases
+
+        vol = self._blob_volume()
+        ff = vmod.flood_fill_3d(vol > 200)
+        classes = phases.three_phase_classes(vol)
+        mask_np = (vol > 200) | ff.isolated
+        gas = (classes == phases.GAS) & ~mask_np
+        d = jnp.asarray(phases.d_field_from_classes(
+            classes, 1.0, 0.0, 1.2375e6, dtype=np.float64))
+        c = fvm3d.fvm_coefficients_3d(d, 0.0, 1.0, mask=jnp.asarray(mask_np),
+                                      symmetric=True)
+        spec = fvm3d.make_flux_spec_3d(d, 0.0, 1.0)
+        n = vol.shape[0]
+        x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float64) / n, (n, n, n))
+
+        res = solve_dmg_3d(c, spec, x0, tol=1e-11, max_iter=800,
+                           check_every=10, member=gas)
+        rel = float(jnp.mean(jnp.abs(c.b - fvm3d.apply_operator_3d(c, res.x)))
+                    / jnp.mean(jnp.abs(c.b)))
+        assert rel <= 1e-9, rel
+        # mgcg (tight, f64) agrees on the functional
+        ref = solve_mgcg_3d(c, spec, x0, tol=1e-12, max_iter=4000,
+                            check_every=10, criterion="residual")
+        np.testing.assert_allclose(float(res.deff), float(ref.deff), rtol=1e-6)
+
+    def test_volume_pipeline_dmg_slab_analytic(self):
+        from effectivediffusivityfvm_tpu.pipeline.volume import volume_sim_3phase
+
+        n = 16
+        vol = np.zeros((n, n, n), np.uint8)       # gas
+        vol[: n // 4] = 255                       # 25% solid
+        vol[n // 4: n // 4 + n // 2] = 150        # 50% fluid
+        cfg = SimulationConfig(
+            n_phase=3, d_fluid=1.0, d_solid=0.0, d_gas=1000.0,
+            convergence=1e-10, max_iter=2000, check_every=10,
+            dtype="float64", criterion="relresidual", solver="dmg",
+        )
+        res = volume_sim_3phase(cfg, vol)
+        np.testing.assert_allclose(res.deff, 0.5 * 1.0 + 0.25 * 1000.0,
+                                   rtol=1e-6)
+
+    def test_equilibrate_3d_preserves_solution(self):
+        from effectivediffusivityfvm_tpu.ops import fvm3d
+
+        rng = np.random.default_rng(3)
+        d = jnp.asarray(np.exp(rng.uniform(0, np.log(1e4), (8, 10, 12))))
+        c = fvm3d.fvm_coefficients_3d(d, 0.0, 1.0)
+        c_eq, s = fvm3d.equilibrate_3d(c)
+        v = jnp.asarray(rng.standard_normal((8, 10, 12)))
+        # A' (v/s) = s^-1... check S A S v == b-transform consistency:
+        # A'(v) = S A S v
+        lhs = fvm3d.apply_operator_3d(c_eq, v)
+        rhs = s * fvm3d.apply_operator_3d(c, s * v)
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-10, atol=1e-12)
