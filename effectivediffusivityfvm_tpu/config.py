@@ -29,6 +29,12 @@ class SimulationConfig:
     d_gas: float = 1.0                # "Dg:"         (opts.DCgas)
     mesh_amp_x: int = 1               # "MeshAmpX:"   (opts.MeshIncreaseX)
     mesh_amp_y: int = 1               # "MeshAmpY:"   (opts.MeshIncreaseY)
+    mesh_amp_z: int = 1               # "MeshAmpZ:"   voxel-depth amplification
+                                      #   for the 3D (.npy volume) pipelines —
+                                      #   a TPU extension of the reference's
+                                      #   2D MeshAmpX/Y spec (Deff2D.cuh:261-311);
+                                      #   rounds 1-2 silently reused MeshAmpY
+                                      #   for z, now an independent key
     input_name: str = "00000.jpg"     # "InputName:"  (opts.inputFilename)
     c_right: float = 1.0              # "CR:"         (opts.CRight)
     c_left: float = 0.0               # "CL:"         (opts.CLeft)
@@ -52,6 +58,22 @@ class SimulationConfig:
                                       #   the work of many sweeps).  An explicit
                                       #   value is honored exactly by every
                                       #   solver, never silently clamped.
+                                      #   Tradeoff at coarse cadences (measured,
+                                      #   bench sweep r2): larger values amortize
+                                      #   the true-residual refresh / restart
+                                      #   monitor (10 -> 20 bought +12% on the
+                                      #   512^2 bench) but widen two blind
+                                      #   windows: (a) the divergence guard only
+                                      #   sees an fp32 blow-up at the next check
+                                      #   (up to check_every-1 wasted iterations
+                                      #   before the best-iterate fallback
+                                      #   engages), and (b) without the fused
+                                      #   kernel's in-kernel early exit, a
+                                      #   converged image keeps sweeping to the
+                                      #   window edge.  The fused MGCG kernel
+                                      #   (cgstep_vmem.py) closes both in-kernel;
+                                      #   for XLA-path solvers keep check_every
+                                      #   <= ~2x the expected iteration spread.
     omega: float = 0.0                # relaxation factor; 0 = solver default
                                       #   (jacobi: 2/3, the reference's hardcoded
                                       #    weight Deff2D.cuh:72; rbsor: SOR-optimal
@@ -74,8 +96,14 @@ class SimulationConfig:
     dp: int = 0                       # data-parallel mesh extent; 0 = devices//sp
     sp: int = 1                       # spatial (row-sharded) mesh extent; >1
                                       #   routes through the halo solvers
-                                      #   (parallel/halo.py) — sweep solvers only
-                                      #   in batch mode
+                                      #   (parallel/halo.py)
+    pallas: str = "auto"              # fused-kernel selection for solver=mgcg:
+                                      #   "auto" (fused whole-CG-iteration kernel
+                                      #   on TPU fp32 when it fits VMEM), "off"
+                                      #   (XLA path), "force" (fused kernel,
+                                      #   error if unsupported), "interpret"
+                                      #   (fused kernel in interpreter mode —
+                                      #   CPU tests / dryruns)
 
     @property
     def np_dtype(self):
@@ -84,7 +112,7 @@ class SimulationConfig:
     def validate(self) -> None:
         if self.n_phase not in (2, 3):
             raise ValueError(f"Phases must be 2 or 3, got {self.n_phase}")
-        if self.mesh_amp_x < 1 or self.mesh_amp_y < 1:
+        if self.mesh_amp_x < 1 or self.mesh_amp_y < 1 or self.mesh_amp_z < 1:
             # reference: Deff2D.cuh:1672-1675
             raise ValueError("MeshAmp has to be an integer >= 1")
         if self.solver not in ("jacobi", "rbsor", "cg", "mgcg", "cgir", "dcg",
@@ -96,6 +124,8 @@ class SimulationConfig:
                 "set Dtype: float64")
         if self.criterion not in ("deff", "residual", "relresidual"):
             raise ValueError(f"unknown criterion {self.criterion!r}")
+        if self.pallas not in ("auto", "off", "force", "interpret"):
+            raise ValueError(f"unknown pallas mode {self.pallas!r}")
         if self.devices == 0 or self.devices < -1:
             raise ValueError(f"Devices must be -1 (all) or >= 1, got {self.devices}")
         if self.dp < 0 or self.sp < 1:
@@ -121,6 +151,7 @@ _KEYMAP = {
     "Dg:": ("d_gas", float),
     "MeshAmpX:": ("mesh_amp_x", int),
     "MeshAmpY:": ("mesh_amp_y", int),
+    "MeshAmpZ:": ("mesh_amp_z", int),
     "InputName:": ("input_name", str),
     "CR:": ("c_right", float),
     "CL:": ("c_left", float),
@@ -144,6 +175,7 @@ _KEYMAP = {
     "Devices:": ("devices", lambda v: int(float(v))),
     "DP:": ("dp", lambda v: int(float(v))),
     "SP:": ("sp", lambda v: int(float(v))),
+    "Pallas:": ("pallas", str),
 }
 
 

@@ -97,13 +97,62 @@ def _dp_shard(mesh, tree):
     return jax.tree.map(put, tree)
 
 
+def _pallas_kwargs(cfg):
+    """Translate ``cfg.pallas`` into mgcg's kernel-selection kwargs."""
+    if cfg.solver != "mgcg" or cfg.pallas == "auto":
+        return {}
+    if cfg.pallas == "off":
+        return {"use_pallas": False}
+    if cfg.pallas == "force":
+        return {"use_pallas": "cgstep"}
+    return {"use_pallas": "cgstep", "pallas_interpret": True}
+
+
+def _solve_group_dp_shardmap(cfg, mesh, coeffs, spec, x0, tol, max_iter):
+    """Pure-dp SPMD group solve: ``shard_map`` over the batch axis.
+
+    ``pallas_call`` does not shard under jit's sharding propagation, so the
+    dp path is an explicit ``shard_map``: each device runs the full batched
+    solver — fused Pallas MGCG kernels included — on its local batch slice.
+    There are no collectives inside (per-image freezing, monitors and
+    reductions are all per-image), so each device's ``while_loop`` trip count
+    is independent and results are bitwise identical to the single-device
+    run of the same slice (tested in tests/test_sharding.py).
+    """
+    from jax import shard_map
+
+    from ..parallel.mesh import P
+
+    def dp_spec(a):
+        return P("dp", *([None] * (jnp.ndim(a) - 1)))
+
+    in_specs = jax.tree.map(dp_spec, (coeffs, spec, x0))
+    from ..solvers.driver import SolveResult
+
+    out_specs = SolveResult(x=dp_spec(x0), deff=P("dp"), conv=P("dp"),
+                            iters=P("dp"))
+    kw = dict(omega=cfg.omega, tol=tol, max_iter=max_iter,
+              check_every=cfg.check_every, criterion=cfg.criterion,
+              **_pallas_kwargs(cfg))
+
+    import functools as _ft
+
+    @_ft.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=out_specs, check_vma=False)
+    def run(c_l, s_l, x0_l):
+        return solve_batched(cfg.solver, c_l, s_l, x0_l, **kw)
+
+    return jax.jit(run)(coeffs, spec, x0)
+
+
 def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
                          gas_np=None):
     """Run one shape group's batched solve on the pipeline mesh.
 
-    sp == 1: pure data parallelism — inputs are dp-sharded and the regular
-    batched solver runs SPMD (per-image freezing and reductions are
-    per-image, so results are bitwise identical to the single-device run).
+    sp == 1: pure data parallelism — an explicit ``shard_map`` over the batch
+    axis runs the regular batched solver per device, fused Pallas kernels
+    included (per-image freezing and reductions are per-image, so results
+    are bitwise identical to the single-device run).
     sp > 1: rows additionally sharded via the halo solvers (sweep solvers).
     """
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
@@ -124,21 +173,14 @@ def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
             max_iter=max_iter,
             check_every=cfg.check_every or 10_000, criterion=cfg.criterion)
     else:
-        coeffs, spec, x0 = _dp_shard(mesh, (coeffs, spec, x0))
-        kw = {}
-        if cfg.solver == "mgcg":
-            # pallas_call does not shard under jit's propagation; keep the
-            # XLA V-cycle on multi-device runs
-            kw["use_pallas"] = False
-        if cfg.solver == "jacobi_pallas":
-            raise ValueError("jacobi_pallas does not run on a pipeline mesh; "
-                             "use solver=jacobi or mgcg with Devices > 1")
         if cfg.solver in ("dcg", "dmg"):
+            coeffs, spec, x0 = _dp_shard(mesh, (coeffs, spec, x0))
             members = None
             if gas_np is not None:
                 pad = x0.shape[0] - bsz
                 members = np.concatenate(
                     [gas_np, np.repeat(gas_np[-1:], pad, axis=0)]) if pad else gas_np
+            kw = {}
             if cfg.solver == "dmg":
                 from ..solvers.dmg import solve_dmg_batched as _defl_solve
 
@@ -149,10 +191,8 @@ def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
                               check_every=cfg.check_every, members=members,
                               **kw)
         else:
-            res = solve_batched(
-                cfg.solver, coeffs, spec, x0,
-                omega=cfg.omega, tol=tol, max_iter=max_iter,
-                check_every=cfg.check_every, criterion=cfg.criterion, **kw)
+            res = _solve_group_dp_shardmap(cfg, mesh, coeffs, spec, x0, tol,
+                                           max_iter)
     return jax.tree.map(lambda a: a[:bsz] if a.ndim else a, res)
 
 
@@ -219,6 +259,7 @@ def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
             cfg.solver, coeffs, spec, x0,
             omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
             check_every=cfg.check_every, criterion=cfg.criterion,
+            **_pallas_kwargs(cfg),
         )
     deff = np.asarray(res.deff, np.float64) / cfg.d_fluid  # Deff2D.cuh:2017
     return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt
@@ -247,6 +288,7 @@ def _solve_batched_3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
         cfg.solver, coeffs, spec, x,
         omega=cfg.omega, tol=tol, max_iter=max_iter,
         check_every=cfg.check_every, criterion=cfg.criterion,
+        **_pallas_kwargs(cfg),
     )
 
 
