@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
-from .vcycle_vmem import _cycle_value, _diag_of, _load_levels, _nbsum
+from .vcycle_vmem import _cycle_value, _load_levels, _nbsum, x32_kernel
 
 __all__ = ["cg_steps_pallas", "cgstep_fits_vmem"]
 
@@ -51,11 +51,11 @@ def cgstep_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
     return 26 * ny * nx * itemsize < 100 * 1024 * 1024
 
 
-def _kernel(k_ref, active_ref, rz_ref, x_ref, r_ref, p_ref, *rest,
-            shapes, omega, nu, coarse_iters, over):
+def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
+            *rest, shapes, omega, nu, coarse_iters, over):
     n_levels = len(shapes)
     coef_refs = rest[:3 * n_levels]
-    xo_ref, ro_ref, po_ref, rzo_ref = rest[3 * n_levels:]
+    xo_ref, ro_ref, po_ref, rzo_ref, ko_ref = rest[3 * n_levels:]
     # scalars ride SMEM as full (B, 1) arrays (Mosaic's block divisibility
     # rule rejects (1, 1) blocks); the TPU grid is sequential, so indexing
     # by program id is race-free for both reads and the rz write-back
@@ -71,14 +71,28 @@ def _kernel(k_ref, active_ref, rz_ref, x_ref, r_ref, p_ref, *rest,
     @pl.when(act > 0)
     def _run():
         lvl = _load_levels(coef_refs, n_levels)
-        aw0, an0, di0 = lvl[0]
-        diag0 = _diag_of(di0)
+        aw0, an0, _di0, diag0 = lvl[0]
+        # per-image EARLY EXIT: the recurrence residual's |.|-sum is free in
+        # VMEM, so the loop stops the moment an image reaches its stop
+        # threshold (sum-form of the driver's mean-|r| tolerance) instead of
+        # sweeping blind to the window edge — and the divergence guard fires
+        # in-kernel (hi threshold) instead of waiting for the next true-
+        # residual check.  The outer driver's check stays authoritative:
+        # it refreshes r from the true residual, so an optimistic recurrence
+        # exit is re-opened on the next launch with >= 1 iteration of
+        # progress (no livelock).
+        stop = stop_ref[pid, 0]
+        hi = hi_ref[pid, 0]
 
         def matvec(v):
             return diag0 * v - _nbsum(aw0, an0, v)
 
-        def one(_, s):
-            x, r, p, rz = s
+        def cond(s):
+            i, _x, _r, _p, _rz, sr = s
+            return (i < k_ref[0]) & (sr > stop) & (sr < hi)
+
+        def one(s):
+            i, x, r, p, rz, _sr = s
             q = matvec(p)
             pap = jnp.sum(p * q)
             alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
@@ -88,14 +102,17 @@ def _kernel(k_ref, active_ref, rz_ref, x_ref, r_ref, p_ref, *rest,
             rz_new = jnp.sum(r * z)
             beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
             p = z + beta * p
-            return (x, r, p, rz_new)
+            return (i + 1, x, r, p, rz_new, jnp.sum(jnp.abs(r)))
 
-        x, r, p, rz = jax.lax.fori_loop(
-            0, k_ref[0], one, (x_ref[0], r_ref[0], p_ref[0], rz_ref[pid, 0]))
+        r0 = r_ref[0]
+        init = (jnp.asarray(0, jnp.int32), x_ref[0], r0, p_ref[0],
+                rz_ref[pid, 0], jnp.sum(jnp.abs(r0)))
+        i, x, r, p, rz, _sr = jax.lax.while_loop(cond, one, init)
         xo_ref[0] = x
         ro_ref[0] = r
         po_ref[0] = p
         rzo_ref[pid, 0] = rz
+        ko_ref[pid, 0] = i
 
     @pl.when(act <= 0)
     def _skip():
@@ -103,16 +120,19 @@ def _kernel(k_ref, active_ref, rz_ref, x_ref, r_ref, p_ref, *rest,
         ro_ref[0] = r_ref[0]
         po_ref[0] = p_ref[0]
         rzo_ref[pid, 0] = rz_ref[pid, 0]
+        ko_ref[pid, 0] = 0
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
                                              "over", "interpret"))
+@x32_kernel
 def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
                     p: jax.Array, rz: jax.Array, active: jax.Array,
+                    stop: jax.Array, hi: jax.Array,
                     k: jax.Array, *, omega: float = 0.8, nu: int = 2,
                     coarse_iters: int = 32, over: float = 1.8,
                     interpret: bool = False):
-    """Run ``k`` fused MGCG iterations on a (B, py, px) padded batch.
+    """Run up to ``k`` fused MGCG iterations on a (B, py, px) padded batch.
 
     Args:
       levels: pre-padded hierarchy (build_hierarchy(..., pad_levels=True)),
@@ -120,9 +140,12 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
       x, r, p: CG state, (B, py, px).
       rz: recurrence scalar <r, z>, (B, 1).
       active: 1.0 = iterate, 0.0 = frozen, (B, 1).
-      k: traced int32 iteration count (scalar prefetch).
+      stop: per-image early-exit threshold on sum|r| (0 disables), (B, 1).
+      hi: per-image divergence threshold on sum|r| (pass a huge value to
+        disable), (B, 1).
+      k: traced int32 iteration cap (scalar prefetch).
     Returns:
-      (x, r, p, rz) after k iterations.
+      (x, r, p, rz, k_done) — k_done (B, 1) int32 iterations executed.
     """
     bsz, py, px = x.shape
     shapes = tuple((c.diag.shape[-2], c.diag.shape[-1]) for c in levels)
@@ -133,8 +156,9 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     scal = pl.BlockSpec((bsz, 1), lambda b, kk: (0, 0),
                         memory_space=pltpu.SMEM)
 
-    in_specs = [scal, scal, img, img, img]
-    operands = [active, rz.astype(x.dtype), x, r, p]
+    in_specs = [scal, scal, scal, scal, img, img, img]
+    operands = [active, rz.astype(x.dtype), stop.astype(x.dtype),
+                hi.astype(x.dtype), x, r, p]
     for c, (sy, sx) in zip(levels, shapes):
         spec_l = pl.BlockSpec((1, sy, sx), lambda b, kk: (b, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -146,7 +170,7 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
         num_scalar_prefetch=1,
         grid=(bsz,),
         in_specs=in_specs,
-        out_specs=[img, img, img, scal],
+        out_specs=[img, img, img, scal, scal],
     )
     pyramid = sum(sy * sx for sy, sx in shapes)
     limit = int(4.6 * (2 * (3 * pyramid + 6 * py * px) + 2 * pyramid
@@ -161,12 +185,13 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
 
     kernel = functools.partial(_kernel, shapes=shapes, omega=omega, nu=nu,
                                coarse_iters=coarse_iters, over=over)
-    xo, ro, po, rzo = pl.pallas_call(
+    xo, ro, po, rzo, ko = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 3
-        + [jax.ShapeDtypeStruct((bsz, 1), x.dtype)],
+        + [jax.ShapeDtypeStruct((bsz, 1), x.dtype),
+           jax.ShapeDtypeStruct((bsz, 1), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
     )(jnp.asarray(k, jnp.int32).reshape(1), *operands)
-    return xo, ro, po, rzo
+    return xo, ro, po, rzo, ko

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
+from .vcycle_vmem import x32_kernel
 
 __all__ = ["jacobi_sweeps_pallas", "jacobi_fits_vmem"]
 
@@ -67,6 +68,7 @@ def _kernel(k_ref, aw, an, dinv, b, x_in, x_out, *, omega):
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "interpret"))
+@x32_kernel
 def jacobi_sweeps_pallas(coeffs: StencilCoeffs, x: jax.Array, k: jax.Array,
                          *, omega: float = 2.0 / 3.0,
                          interpret: bool = False) -> jax.Array:

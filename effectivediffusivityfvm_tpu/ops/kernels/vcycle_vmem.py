@@ -55,6 +55,31 @@ from ..fvm import StencilCoeffs
 __all__ = ["v_cycle_pallas", "vcycle_fits_vmem"]
 
 
+def x32_kernel(fn):
+    """Trace a Pallas entry (kernel body + index maps) with x64 disabled
+    when its operands are f32.
+
+    Under ``jax_enable_x64`` (the dmg/f64 pipelines), Python scalar literals
+    traced inside the kernel — including the BlockSpec index maps' ``0``s —
+    become weak f64/int64 constants; Mosaic cannot lower the resulting
+    f64->f32 converts (NotImplementedError), index maps returning i64 fail
+    func.return legalization, and the int64->int32 case recurses forever in
+    Mosaic's ``_convert_helper``.  The production kernels all compute in
+    f32/int32, so the trace runs under ``jax.enable_x64(False)`` — arrays
+    keep their dtypes, only the literal default changes.  f64 operands
+    (interpret-mode CPU tests only) skip the guard: their arithmetic must
+    stay f64, and interpret mode never lowers through Mosaic."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        leaves = jax.tree_util.tree_leaves((args, kw))
+        f64 = any(getattr(l, "dtype", None) == jnp.float64 for l in leaves)
+        if f64:
+            return fn(*args, **kw)
+        with jax.enable_x64(False):
+            return fn(*args, **kw)
+    return wrapped
+
+
 def _nbsum(aw, an, x):
     """Neighbor sum for a symmetric stencil from the west/north planes only
     (same reconstruction as jacobi_vmem._kernel)."""
@@ -97,23 +122,24 @@ def vcycle_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
 
 def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
     """One V(nu, nu) cycle applied to the VALUE ``r0``, with all level
-    planes already loaded (``lvl[l] = (aw, an, dinv)``).  Shared by the
-    standalone whole-cycle kernel and the fused CG-iteration kernel
-    (cgstep_vmem.py)."""
+    planes already loaded (``lvl[l] = (aw, an, dinv, diag)`` — diag is
+    reconstructed once per kernel launch in ``_load_levels``, not per
+    iteration).  Shared by the standalone whole-cycle kernel and the fused
+    CG-iteration kernel (cgstep_vmem.py)."""
     n_levels = len(shapes)
 
     def smooth(l, x, b):
-        aw, an, di = lvl[l]
+        aw, an, di, _ = lvl[l]
         return (1.0 - omega) * x + omega * (b + _nbsum(aw, an, x)) * di
 
     rs = [r0]
     es = []
     for l in range(n_levels - 1):
-        aw, an, di = lvl[l]
+        aw, an, di, dg = lvl[l]
         e = omega * di * rs[l]
         for _ in range(nu - 1):
             e = smooth(l, e, rs[l])
-        res = rs[l] - (_diag_of(di) * e - _nbsum(aw, an, e))
+        res = rs[l] - (dg * e - _nbsum(aw, an, e))
         es.append(e)
         nyc, nxc = shapes[l + 1]
         ry = _sel(nyc, res.shape[0], res.dtype)
@@ -145,9 +171,14 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
 
 
 def _load_levels(refs, n_levels):
-    """refs = (aw_0, an_0, dinv_0, aw_1, ...) fine-to-coarse."""
-    return [tuple(ref[0] for ref in refs[3 * l:3 * l + 3])
-            for l in range(n_levels)]
+    """refs = (aw_0, an_0, dinv_0, aw_1, ...) fine-to-coarse; returns
+    ``(aw, an, dinv, diag)`` per level with the diagonal reconstructed once
+    per launch (it is needed by every residual/matvec of every iteration)."""
+    out = []
+    for l in range(n_levels):
+        aw, an, di = (ref[0] for ref in refs[3 * l:3 * l + 3])
+        out.append((aw, an, di, _diag_of(di)))
+    return out
 
 
 def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
@@ -159,6 +190,7 @@ def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
 
 @functools.partial(jax.jit, static_argnames=("omega", "coarse_iters", "over",
                                              "nu", "interpret"))
+@x32_kernel
 def v_cycle_pallas(levels: List[StencilCoeffs], r: jax.Array, *,
                    omega: float = 0.8, coarse_iters: int = 32,
                    over: float = 1.8, nu: int = 1,

@@ -54,10 +54,10 @@ from .pcg import run_pcg
 __all__ = ["build_hierarchy", "v_cycle", "solve_mgcg", "solve_mgcg_batched"]
 
 
-def _pad_even(c: fvm.StencilCoeffs) -> fvm.StencilCoeffs:
-    """Pad odd dims with decoupled identity cells so 2x2 blocks align."""
-    ny, nx = c.diag.shape[-2], c.diag.shape[-1]
-    py, px = ny % 2, nx % 2
+def _pad_op(c: fvm.StencilCoeffs, py: int, px: int) -> fvm.StencilCoeffs:
+    """Pad the operator by (py, px) trailing rows/cols of decoupled identity
+    cells (diag=1, couplings=0, b=0): the padded block is an independent
+    x=0 subsystem that never talks to the physical cells."""
     if not (py or px):
         return c
     lead = c.diag.ndim - 2
@@ -75,6 +75,12 @@ def _pad_even(c: fvm.StencilCoeffs) -> fvm.StencilCoeffs:
         diag=diag, diag_inv=jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0),
         b=z(c.b),
     )
+
+
+def _pad_even(c: fvm.StencilCoeffs) -> fvm.StencilCoeffs:
+    """Pad odd dims with decoupled identity cells so 2x2 blocks align."""
+    ny, nx = c.diag.shape[-2], c.diag.shape[-1]
+    return _pad_op(c, ny % 2, nx % 2)
 
 
 def _blocks(a):
@@ -264,6 +270,19 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
 
     bscale = mean_abs(b_p) if criterion == "relresidual" else None
 
+    # In-kernel early-exit threshold: the kernel compares sum|r| (padded
+    # cells carry exact zeros), the driver's criterion is mean|r| over the
+    # physical cells — same test scaled by ny*nx.  criterion="deff" cannot
+    # be evaluated in-kernel (flux monitor), so its stop is 0 (disabled);
+    # the divergence tripwire (hi) is active for every criterion.
+    npts = jnp.asarray(ny * nx, dtype)
+    if criterion == "residual":
+        stop_sum = jnp.full((bsz,), tol, dtype) * npts
+    elif criterion == "relresidual":
+        stop_sum = tol_ * bscale * npts
+    else:
+        stop_sum = jnp.zeros((bsz,), dtype)
+
     def deff_fn(xp):
         return boundary_deff(spec, unpad(xp))
 
@@ -281,13 +300,15 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
          bad) = c
         active = tol_ < jnp.abs(pc)
         k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
-        x, r, p, rz1 = cg_steps_pallas(
-            levels, x, r, p, rz[:, None], active.astype(dtype)[:, None], k,
+        hi_sum = 1e3 * best * npts    # in-kernel divergence tripwire
+        x, r, p, rz1, kdone = cg_steps_pallas(
+            levels, x, r, p, rz[:, None], active.astype(dtype)[:, None],
+            stop_sum[:, None], hi_sum[:, None], k,
             omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
             interpret=interpret)
         rz = rz1[:, 0]
         it_new = it + k
-        iters = iters + jnp.where(active, k, 0)
+        iters = iters + jnp.where(active, kdone[:, 0], 0)
         do_check = ((it_new - 1) % check_every) == 0
 
         r_true, z_true, rz_true = fresh(x)
@@ -342,19 +363,22 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
                        iters=iters)
 
 
-def _pallas_auto(coeffs, nu1, nu2, min_size) -> bool:
-    """Default ON for the fused Pallas V-cycle: real TPU, fp32, the V(1,1)
-    shape the kernel implements, and a fine level that fits VMEM."""
+def _pallas_auto(coeffs, nu1, nu2, min_size):
+    """Default kernel selection for TPU fp32 V(nu, nu): the whole-cycle VMEM
+    kernel when the pyramid fits (True), else the row-tiled streaming kernel
+    ("tiled", ops/kernels/vcycle_tiled.py) for large fine grids."""
     import jax as _jax
-
-    from ..ops.kernels.vcycle_vmem import vcycle_fits_vmem
 
     if _jax.default_backend() != "tpu" or nu1 != nu2 or nu1 > 4:
         return False
     if coeffs.diag.dtype != jnp.float32:
         return False
+    from ..ops.kernels.vcycle_vmem import vcycle_fits_vmem
+
     ny, nx = coeffs.diag.shape[-2], coeffs.diag.shape[-1]
-    return vcycle_fits_vmem(ny + ny % 2, nx + nx % 2)
+    if vcycle_fits_vmem(ny + ny % 2, nx + nx % 2):
+        return True
+    return "tiled"
 
 
 def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
@@ -362,7 +386,7 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                use_pallas=None, pallas_interpret=False):
     if use_pallas is None:
         use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
-        if use_pallas:
+        if use_pallas is True:
             from ..ops.kernels.cgstep_vmem import cgstep_fits_vmem
 
             ny, nx = coeffs.diag.shape[-2], coeffs.diag.shape[-1]
@@ -388,7 +412,31 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             res = jax.tree.map(lambda a: a[0], res)
         return res
 
-    if use_pallas:
+    if use_pallas == "tiled":
+        # row-tiled streaming cycle for fine grids past the VMEM cap
+        # (ops/kernels/vcycle_tiled.py): bands on the fine level, the
+        # coarse tail whole-in-VMEM
+        from ..ops.kernels.vcycle_tiled import (tiled_band, tiled_pad_shape,
+                                                v_cycle_tiled)
+
+        hier_coeffs = coeffs if batched else jax.tree.map(
+            lambda a: a[None], coeffs)
+        ny, nx = coeffs.diag.shape[-2], coeffs.diag.shape[-1]
+        band = tiled_band(ny, nx, coeffs.diag.dtype.itemsize)
+        py, px = tiled_pad_shape(ny, nx, band)
+        levels = build_hierarchy(_pad_op(hier_coeffs, py - ny, px - nx),
+                                 min_size=min_size, pad_levels=True)
+
+        def precond(r):
+            rb = r if batched else r[None]
+            if (py, px) != (ny, nx):
+                rb = jnp.pad(rb, [(0, 0), (0, py - ny), (0, px - nx)])
+            z = v_cycle_tiled(levels, rb, omega=omega, nu=nu1,
+                              coarse_iters=coarse_iters, over=over,
+                              band=band, interpret=pallas_interpret)
+            z = z[..., :ny, :nx]
+            return z if batched else z[0]
+    elif use_pallas:
         from ..ops.kernels.vcycle_vmem import v_cycle_pallas
 
         hier_coeffs = coeffs if batched else jax.tree.map(
