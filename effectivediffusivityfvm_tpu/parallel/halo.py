@@ -302,19 +302,28 @@ def sharded_solve_mgcg(
 ) -> SolveResult:
     """Row-sharded 2D multigrid-PCG: shard-local Galerkin coarsening down to
     2-row slabs, then a replicated coarse tail; equals the unsharded
-    ``solve_mgcg`` to rounding (single volumes; batch via dp + CG)."""
+    ``solve_mgcg`` to rounding.
+
+    ``x0`` of shape ``(ny, nx)`` solves one image over ``spatial_axis``;
+    ``(B, ny, nx)`` additionally shards the batch over ``batch_axis`` with
+    per-image convergence freezing (the whole coarsening/cycle machinery is
+    batch-dim agnostic; only the monitors and the trip-count reduction need
+    the extra axis — see sharded_solve_jacobi for why the dp-wide psum'd
+    trip count is required)."""
     from ..solvers.pcg import run_pcg
 
-    if x0.ndim == 3:
-        raise NotImplementedError("sharded 2D MGCG is single-image")
+    batched = x0.ndim == 3
     check_every = min(check_every, 10)
-    grid_spec = P(spatial_axis, None)
-    col_spec = P(spatial_axis)
+    grid_spec = (P(batch_axis, spatial_axis, None) if batched
+                 else P(spatial_axis, None))
+    col_spec = (P(batch_axis, spatial_axis) if batched else P(spatial_axis))
+    scal_spec = P(batch_axis) if batched else P()
     coeffs_specs = fvm.StencilCoeffs(*([grid_spec] * 7))
     spec_specs = BoundaryFluxSpec(
         d_left=col_spec, d_right=col_spec,
-        c_left=P(), c_right=P(), inv_half_dx=P())
-    out_specs = SolveResult(x=grid_spec, deff=P(), conv=P(), iters=P())
+        c_left=scal_spec, c_right=scal_spec, inv_half_dx=scal_spec)
+    out_specs = SolveResult(x=grid_spec, deff=scal_spec, conv=scal_spec,
+                            iters=scal_spec if batched else P())
     n_shards = mesh.shape[spatial_axis]
     ny_local = x0.shape[-2] // n_shards
 
@@ -347,11 +356,19 @@ def sharded_solve_mgcg(
         def deff_fn(x):
             return _deff_local(s_l, x, spatial_axis)
 
+        reduce_any = None
+        if batched:
+            def reduce_any(active):
+                tot = jax.lax.psum(jnp.any(active).astype(jnp.int32),
+                                   batch_axis)
+                return tot > 0
+
         return run_pcg(
             matvec=matvec, precond=precond, b=c_l.b, x0=x0_l,
             deff_fn=deff_fn, tol=tol, max_iter=max_iter,
             check_every=check_every, criterion=criterion, grid_ndim=2,
-            batched=False, mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
+            batched=batched, reduce_any_fn=reduce_any,
+            mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
 
     return jax.jit(run)(coeffs, spec, x0)

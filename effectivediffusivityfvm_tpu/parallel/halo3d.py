@@ -349,15 +349,16 @@ def sharded_solve_mgcg_3d(
     operators are the same Galerkin products (the shard-boundary couplings
     are carried by the local a_d planes + one ppermute per level), so every
     iterate matches to rounding.
+
+    ``x0`` of shape ``(nz, ny, nx)`` solves one volume; ``(B, nz, ny, nx)``
+    additionally shards the batch over ``batch_axis`` with per-image
+    convergence freezing (the coarsening/cycle machinery is batch-dim
+    agnostic; the trip count psums over dp to stay globally uniform).
     """
     batched = x0.ndim == 4
-    if batched:
-        raise NotImplementedError(
-            "sharded 3D MGCG currently supports single volumes; use the dp "
-            "axis with sharded_solve_cg_3d for batched voxel stacks")
     check_every = min(check_every, 10)
     coeffs_specs, spec_specs, grid_spec, out_specs = _specs(
-        False, spatial_axis, batch_axis)
+        batched, spatial_axis, batch_axis)
     n_shards = mesh.shape[spatial_axis]
     nz_local = x0.shape[-3] // n_shards
 
@@ -388,12 +389,19 @@ def sharded_solve_mgcg_3d(
                   * jax.lax.axis_size(spatial_axis))
             return s / nn
 
+        reduce_any = None
+        if batched:
+            def reduce_any(active):
+                tot = jax.lax.psum(jnp.any(active).astype(jnp.int32),
+                                   batch_axis)
+                return tot > 0
+
         return run_pcg(
             matvec=matvec, precond=precond, b=c_l.b, x0=x0_l,
             deff_fn=lambda x: _deff_local(s_l, x, spatial_axis),
             tol=tol, max_iter=max_iter, check_every=check_every,
-            criterion=criterion, grid_ndim=3, batched=False,
-            mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
+            criterion=criterion, grid_ndim=3, batched=batched,
+            reduce_any_fn=reduce_any, mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
 
     return jax.jit(run)(coeffs, spec, x0)

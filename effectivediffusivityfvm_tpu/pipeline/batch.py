@@ -159,19 +159,27 @@ def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
     (coeffs, spec, x0), bsz = _pad_batch((coeffs, spec, x0), dp)
 
     if sp > 1:
-        if cfg.solver != "jacobi":
+        if cfg.solver not in ("jacobi", "mgcg"):
             raise ValueError(
-                f"SP: {sp} in batch mode supports solver=jacobi (halo sweep); "
-                f"got {cfg.solver!r} — use SP: 1 (pure dp) for Krylov solvers")
-        from ..parallel.halo import sharded_solve_jacobi
-
+                f"SP: {sp} in batch mode supports solver=jacobi (halo sweep) "
+                f"or solver=mgcg (sharded multigrid-PCG); got {cfg.solver!r} "
+                f"— use SP: 1 (pure dp) for other solvers")
         ny = x0.shape[-2]
         if ny % sp:
             raise ValueError(f"image rows ({ny}) must divide SP ({sp})")
-        res = sharded_solve_jacobi(
-            coeffs, spec, x0, mesh, omega=cfg.omega or 2.0 / 3.0, tol=tol,
-            max_iter=max_iter,
-            check_every=cfg.check_every or 10_000, criterion=cfg.criterion)
+        if cfg.solver == "mgcg":
+            from ..parallel.halo import sharded_solve_mgcg
+
+            res = sharded_solve_mgcg(
+                coeffs, spec, x0, mesh, tol=tol, max_iter=max_iter,
+                check_every=cfg.check_every or 10, criterion=cfg.criterion)
+        else:
+            from ..parallel.halo import sharded_solve_jacobi
+
+            res = sharded_solve_jacobi(
+                coeffs, spec, x0, mesh, omega=cfg.omega or 2.0 / 3.0, tol=tol,
+                max_iter=max_iter,
+                check_every=cfg.check_every or 10_000, criterion=cfg.criterion)
     else:
         if cfg.solver in ("dcg", "dmg"):
             coeffs, spec, x0 = _dp_shard(mesh, (coeffs, spec, x0))

@@ -96,7 +96,7 @@ def volume_sim(cfg: SimulationConfig, vol: np.ndarray,
     poro = volume.porosity_3d(vol)
     ff = volume.flood_fill_3d(vol > 150)
     classes = volume.amplify_3d(
-        phases.two_phase_classes(vol), cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+        phases.two_phase_classes(vol), cfg.mesh_amp_z, cfg.mesh_amp_y, cfg.mesh_amp_x)
     nz, ny, nx = classes.shape
     dtype = cfg.np_dtype
     x = _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype)
@@ -137,9 +137,9 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
         raise ValueError("expected a (nz, ny, nx) voxel volume")
     ff = volume.flood_fill_3d(vol > 200)
     classes = volume.amplify_3d(
-        phases.three_phase_classes(vol), cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+        phases.three_phase_classes(vol), cfg.mesh_amp_z, cfg.mesh_amp_y, cfg.mesh_amp_x)
     mask_np = volume.amplify_3d((vol > 200) | ff.isolated,
-                                cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+                                cfg.mesh_amp_z, cfg.mesh_amp_y, cfg.mesh_amp_x)
     nz, ny, nx = classes.shape
     dtype = cfg.np_dtype
     mask = jnp.asarray(mask_np)
@@ -151,7 +151,7 @@ def volume_sim_3phase(cfg: SimulationConfig, vol: np.ndarray,
     gas_np = ((phases.three_phase_classes(vol) == phases.GAS)
               if solver3d == "dmg" else None)
     if gas_np is not None:
-        gas_np = volume.amplify_3d(gas_np, cfg.mesh_amp_y, cfg.mesh_amp_y,
+        gas_np = volume.amplify_3d(gas_np, cfg.mesh_amp_z, cfg.mesh_amp_y,
                                    cfg.mesh_amp_x) & ~mask_np
 
     def build(dcg_val):
@@ -217,12 +217,15 @@ def _group_by_shape(vols, indices, max_group):
     return groups
 
 
-def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter):
+def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter, gas_np=None):
     name = _effective_solver_3d(cfg)
     if name == "dmg":
-        warnings.warn("dmg has no batched 3D variant yet; using 'mgcg'",
-                      stacklevel=3)
-        name = "mgcg"
+        from ..solvers.dmg3d import solve_dmg_3d_batched
+
+        return solve_dmg_3d_batched(
+            coeffs, spec, x, tol=tol, max_iter=max_iter,
+            check_every=cfg.check_every, criterion=cfg.criterion,
+            members=gas_np)
     fn = _BATCHED_SOLVERS[name]
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
               check_every=cfg.check_every, criterion=cfg.criterion)
@@ -252,7 +255,7 @@ def volume_batch_sim(cfg: SimulationConfig, vols) -> np.ndarray:
                  for i in group]
         classes = np.stack([
             volume.amplify_3d(phases.two_phase_classes(v),
-                              cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+                              cfg.mesh_amp_z, cfg.mesh_amp_y, cfg.mesh_amp_x)
             for v in stack])
         bsz, nz, ny, nx = classes.shape
         d_field = jnp.asarray(phases.d_field_from_classes(
@@ -297,21 +300,28 @@ def volume_batch_sim_3phase(cfg: SimulationConfig, vols) -> np.ndarray:
     pending = [i for i in range(n) if i not in done]
     dtype = cfg.np_dtype
     solver3d = _effective_solver_3d(cfg)
-    symmetric = solver3d in ("cg", "mgcg")
+    symmetric = solver3d in ("cg", "mgcg", "dmg")
 
     for group in _group_by_shape(vols, pending, cfg.batch_size):
         stack = np.stack([vols[i] for i in group])
         flags = [volume.flood_fill_3d(vols[i] > 200).path_flag for i in group]
         classes = np.stack([
             volume.amplify_3d(phases.three_phase_classes(v),
-                              cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+                              cfg.mesh_amp_z, cfg.mesh_amp_y, cfg.mesh_amp_x)
             for v in stack])
         mask_np = np.stack([
             volume.amplify_3d((v > 200) | volume.flood_fill_3d(v > 200).isolated,
-                              cfg.mesh_amp_y, cfg.mesh_amp_y, cfg.mesh_amp_x)
+                              cfg.mesh_amp_z, cfg.mesh_amp_y, cfg.mesh_amp_x)
             for v in stack])
         mask = jnp.asarray(mask_np)
         bsz, nz, ny, nx = classes.shape
+        gas_np = None
+        if solver3d == "dmg":
+            gas_np = np.stack([
+                volume.amplify_3d(phases.three_phase_classes(v) == phases.GAS,
+                                  cfg.mesh_amp_z, cfg.mesh_amp_y,
+                                  cfg.mesh_amp_x)
+                for v in stack]) & ~mask_np
 
         def build(dcg_val):
             d_field = jnp.asarray(phases.d_field_from_classes(
@@ -328,7 +338,9 @@ def volume_batch_sim_3phase(cfg: SimulationConfig, vols) -> np.ndarray:
             (bsz, nz, ny, nx))
         stage_max_iter = (1_000_000 if solver3d in ("jacobi", "rbsor")
                           else cfg.max_iter)
-        for stage_num, dcg_t in enumerate(dcg_stages(cfg.d_gas), start=1):
+        # dmg is κ-robust; skip the homotopy pre-stages (pipeline/single.py)
+        stages = [] if solver3d == "dmg" else dcg_stages(cfg.d_gas)
+        for stage_num, dcg_t in enumerate(stages, start=1):
             vprint(cfg.verbose, f"Pre-Cond Stage {stage_num}: DCG = {dcg_t:1.3e}")
             coeffs, spec = build(dcg_t)
             res = _solve3d_batched(cfg, coeffs, spec, x, cfg.convergence * 10,
@@ -337,7 +349,7 @@ def volume_batch_sim_3phase(cfg: SimulationConfig, vols) -> np.ndarray:
 
         coeffs, spec = build(cfg.d_gas)
         res, dt = time_fn(_solve3d_batched, cfg, coeffs, spec, x,
-                          cfg.convergence, cfg.max_iter)
+                          cfg.convergence, cfg.max_iter, gas_np)
         deff = np.asarray(res.deff, np.float64) / cfg.d_fluid
         conv = np.asarray(res.conv)
         iters = np.asarray(res.iters)
