@@ -231,24 +231,53 @@ def build_component_deflation(coeffs: fvm.StencilCoeffs,
     )
 
 
+_COARSE_CHUNK = 16      # components per one-hot plane-pass (bounds the
+                        # (chunk, ny, nx) fused working set)
+
+
 def _coarse_apply(defl: DeflationSpace, r: jax.Array,
                   weight: Optional[jax.Array] = None) -> jax.Array:
-    """W E^-1 W^T r via segment-sum, a dense (m, m) matmul, and a gather.
+    """W E^-1 W^T r via chunked one-hot masked reductions.
+
+    W^T r and W y are NOT computed as segment-sum/gather: TPU scatter/gather
+    over 2M cell indices serializes (~100 ms/apply measured on the bundled
+    2007x1002 demo image).  Because W's columns are indicator planes,
+    both ops are compare+select+reduce over the label plane —
+      (W^T r)[j] = sum(where(labels == j, r, 0))
+      (W y)[c]   = sum_j where(labels[c] == j, y[j], 0)
+    — processed ``_COARSE_CHUNK`` components per pass so XLA fuses the
+    broadcast compare into the reduction and the whole apply streams the
+    label/residual planes at HBM bandwidth (ceil(m/chunk) passes), exact in
+    f64 (disjoint supports: the scatter-back sum has at most one hit/cell).
 
     ``weight`` generalizes the space to per-cell-scaled indicators
     W' = diag(weight) W (disjoint supports are preserved, so the apply stays
-    a weighted segment-sum + weighted gather).  Used by the equilibrated
+    a weighted masked-sum + weighted broadcast).  Used by the equilibrated
     engine: for A' = S A S the near-kernel is S^-1 W, i.e. weight =
     1/s = sqrt(diag) — and E' = W'^T A' W' = W^T A W = E is unchanged.
     """
-    lab = defl.labels.ravel()
-    safe = jnp.where(lab >= 0, lab, defl.m)          # park non-members
-    rr = (r * weight if weight is not None else r).ravel()
-    rc = jax.ops.segment_sum(rr, safe, num_segments=defl.m + 1)[:-1]
+    lab = defl.labels
+    rr = r * weight if weight is not None else r
+    m = defl.m
+    spans = [(j0, min(j0 + _COARSE_CHUNK, m))
+             for j0 in range(0, m, _COARSE_CHUNK)]
+    bshape = (-1,) + (1,) * lab.ndim            # dimension-agnostic (2D/3D)
+    axes = tuple(range(1, lab.ndim + 1))
+    zero = jnp.zeros((), r.dtype)
+
+    rc = jnp.concatenate([
+        jnp.sum(jnp.where(
+            lab[None] == jnp.arange(j0, j1, dtype=jnp.int32).reshape(bshape),
+            rr[None], zero), axis=axes)
+        for j0, j1 in spans])
     dhi = defl.dhalf_inv.astype(r.dtype)
     y = dhi * (defl.e_hat_inv.astype(r.dtype) @ (dhi * rc))
-    yg = jnp.concatenate([y, jnp.zeros((1,), r.dtype)])
-    out = yg[safe].reshape(r.shape)
+    out = jnp.zeros_like(rr)
+    for j0, j1 in spans:
+        js = jnp.arange(j0, j1, dtype=jnp.int32).reshape(bshape)
+        out = out + jnp.sum(
+            jnp.where(lab[None] == js, y[j0:j1].reshape(bshape), zero),
+            axis=0)
     return out * weight if weight is not None else out
 
 

@@ -81,11 +81,12 @@ def _mg_kw(kw):
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
                      "m", "nu", "mg_omega", "coarse_iters", "min_size",
-                     "over", "precond_f32"),
+                     "over", "precond_f32", "use_pallas", "pallas_interpret"),
 )
 def _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
                    tol, max_iter, check_every, criterion, m, nu, mg_omega,
-                   coarse_iters, min_size, over, precond_f32):
+                   coarse_iters, min_size, over, precond_f32,
+                   use_pallas=False, pallas_interpret=False):
     dtype = x0.dtype
     c_eq, s = fvm.equilibrate(coeffs)
     defl = (DeflationSpace(labels=labels, e_hat_inv=e_hat_inv,
@@ -102,8 +103,50 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
     # raw cycle plugs into the equilibrated engine by the similarity maps
     # r_raw = S^-1 r' = w.r' and z' = S^-1 e = w.e, so
     # M'_mg = S^-1 M_mg S^-1 — still SPD.
-    levels = build_hierarchy(
-        jax.tree.map(lambda a: a.astype(pdt), coeffs), min_size=min_size)
+    raw = jax.tree.map(lambda a: a.astype(pdt), coeffs)
+    if use_pallas == "tiled":
+        # row-tiled streaming Pallas cycle (ops/kernels/vcycle_tiled.py) for
+        # fine grids past the whole-VMEM cap — the shipped 2007x1002 demo
+        # (Deff2D.cuh:1336) lands here on TPU
+        from ..ops.kernels.vcycle_tiled import (tiled_band, tiled_pad_shape,
+                                                v_cycle_tiled)
+        from .multigrid import _pad_op
+
+        ny, nx = x0.shape
+        band = tiled_band(ny, nx, jnp.dtype(pdt).itemsize)
+        py, px = tiled_pad_shape(ny, nx, band)
+        levels = build_hierarchy(
+            _pad_op(jax.tree.map(lambda a: a[None], raw), py - ny, px - nx),
+            min_size=min_size, pad_levels=True)
+
+        def cycle(rr):
+            rp = jnp.pad(rr[None], [(0, 0), (0, py - ny), (0, px - nx)])
+            z = v_cycle_tiled(levels, rp, omega=mg_omega, nu=nu,
+                              coarse_iters=coarse_iters, over=over,
+                              band=band, interpret=pallas_interpret)
+            return z[0, :ny, :nx]
+    elif use_pallas:
+        from ..ops.kernels.vcycle_vmem import v_cycle_pallas
+
+        levels = build_hierarchy(jax.tree.map(lambda a: a[None], raw),
+                                 min_size=min_size, pad_levels=True)
+        ny, nx = x0.shape
+        py, px = levels[0].diag.shape[-2], levels[0].diag.shape[-1]
+
+        def cycle(rr):
+            rp = rr[None]
+            if (py, px) != (ny, nx):
+                rp = jnp.pad(rp, [(0, 0), (0, py - ny), (0, px - nx)])
+            z = v_cycle_pallas(levels, rp, omega=mg_omega, nu=nu,
+                               coarse_iters=coarse_iters, over=over,
+                               interpret=pallas_interpret)
+            return z[0, :ny, :nx]
+    else:
+        levels = build_hierarchy(raw, min_size=min_size)
+
+        def cycle(rr):
+            return v_cycle(levels, rr, nu1=nu, nu2=nu, omega=mg_omega,
+                           coarse_iters=coarse_iters, over=over)
 
     def matvec(p):
         return fvm.apply_operator(c_eq, p)
@@ -116,9 +159,7 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
             return jnp.zeros_like(v)
 
     def precond(r):
-        z = w * v_cycle(levels, (w * r).astype(pdt), nu1=nu, nu2=nu,
-                        omega=mg_omega, coarse_iters=coarse_iters,
-                        over=over).astype(dtype)
+        z = w * cycle((w * r).astype(pdt)).astype(dtype)
         # A-DEF2: M^-1 r = (I - Q A) z + Q r.  Deliberately NOT folded to
         # the one-apply z + Q(r - A z): algebraically identical, but the
         # folded form floors the refined demo-image solve at 3.5e-11 where
@@ -140,6 +181,20 @@ def _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv, *, omega,
     return res._replace(x=s * res.x)
 
 
+def _dmg_pallas_auto(shape, precond_f32, nu):
+    """Default cycle-kernel selection for the f32 preconditioner on TPU:
+    whole-VMEM kernel when the pyramid fits, row-tiled streaming kernel
+    beyond (mirrors multigrid._pallas_auto)."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu" or not precond_f32 or nu > 4:
+        return False
+    from ..ops.kernels.vcycle_vmem import vcycle_fits_vmem
+
+    ny, nx = shape[-2], shape[-1]
+    return True if vcycle_fits_vmem(ny + ny % 2, nx + nx % 2) else "tiled"
+
+
 def _space_or_empty(defl, shape, dtype):
     if defl is None:
         return (jnp.full(shape, -1, jnp.int32), jnp.zeros((0, 0), dtype),
@@ -152,7 +207,8 @@ def solve_dmg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-10,
               criterion: str = "relresidual",
               member: Optional[np.ndarray] = None,
               defl: Optional[DeflationSpace] = None,
-              precond_f32: bool = True, **mg) -> SolveResult:
+              precond_f32: bool = True, use_pallas=None,
+              pallas_interpret: bool = False, **mg) -> SolveResult:
     """Deflated multigrid-PCG (A-DEF2), single image, f64 in/out.
 
     ``criterion="residual"/"relresidual"`` are measured on the equilibrated
@@ -160,7 +216,10 @@ def solve_dmg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-10,
     percent-change rule on the recovered field.  MG knobs
     (``nu/mg_omega/coarse_iters/min_size/over``) pass through;
     ``precond_f32=False`` forces the V-cycle to f64 (no measured benefit).
-    ``omega`` is signature parity.
+    ``use_pallas``: None = auto on TPU (whole-VMEM fused cycle when the f32
+    pyramid fits, the row-tiled streaming cycle beyond — the shipped
+    2007x1002 demo case); True/False/"tiled" force.  ``omega`` is signature
+    parity.
     """
     if x0.dtype != jnp.float64:
         raise ValueError("solve_dmg needs f64 inputs (jax_enable_x64; "
@@ -168,10 +227,14 @@ def solve_dmg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-10,
     if defl is None and member is not None:
         defl = build_component_deflation(coeffs, member)
     labels, e_hat_inv, dhalf_inv, m = _space_or_empty(defl, x0.shape, x0.dtype)
+    mg_kw = _mg_kw(mg)
+    if use_pallas is None:
+        use_pallas = _dmg_pallas_auto(x0.shape, precond_f32, mg_kw["nu"])
     return _solve_dmg_jit(coeffs, spec, x0, labels, e_hat_inv, dhalf_inv,
                           omega=omega, tol=tol, max_iter=max_iter,
                           check_every=check_every, criterion=criterion, m=m,
-                          precond_f32=precond_f32, **_mg_kw(mg))
+                          precond_f32=precond_f32, use_pallas=use_pallas,
+                          pallas_interpret=pallas_interpret, **mg_kw)
 
 
 def solve_dmg_batched(coeffs, spec, x0, *, omega: float = 0.0,
@@ -221,7 +284,8 @@ def solve_dmg_refined(coeffs, spec, x0, *, tol: float = 1e-12,
                       inner_tol: float = 1e-4, check_every: int = 0,
                       member: Optional[np.ndarray] = None,
                       defl: Optional[DeflationSpace] = None,
-                      precond_f32: bool = True, **mg) -> SolveResult:
+                      precond_f32: bool = True, use_pallas=None,
+                      pallas_interpret: bool = False, **mg) -> SolveResult:
     """Correction-form refinement around ``solve_dmg`` — the deepest-accuracy
     driver for extreme-contrast single images.
 
@@ -255,7 +319,8 @@ def solve_dmg_refined(coeffs, spec, x0, *, tol: float = 1e-12,
         res = solve_dmg(c_corr, spec, jnp.zeros_like(x), tol=inner_tol,
                         max_iter=inner_iters, check_every=check_every,
                         criterion="relresidual", defl=defl,
-                        precond_f32=precond_f32, **mg)
+                        precond_f32=precond_f32, use_pallas=use_pallas,
+                        pallas_interpret=pallas_interpret, **mg)
         x = x + res.x
         total += int(res.iters)
         rel = float(jnp.mean(jnp.abs(coeffs.b - fvm.apply_operator(coeffs, x)))

@@ -256,6 +256,22 @@ class TestDeflatedMultigrid:
         xd = spla.spsolve(to_sparse(c), np.asarray(c.b).ravel()).reshape(16, 16)
         np.testing.assert_allclose(np.asarray(res.x), xd, rtol=1e-7, atol=1e-11)
 
+    @pytest.mark.parametrize("up", ["tiled", True])
+    def test_dmg_pallas_cycle_matches_xla(self, rng, up):
+        """The f32 preconditioner cycle rides the fused Pallas kernels
+        (whole-VMEM / row-tiled) with unchanged convergence: same solution
+        and stopping behavior as the XLA cycle at the same schedule."""
+        from effectivediffusivityfvm_tpu.solvers.dmg import solve_dmg
+
+        c, spec, x0, gas = self._blobs(rng)
+        kw = dict(tol=1e-10, max_iter=2_000, check_every=10, member=gas)
+        ref = solve_dmg(c, spec, x0, use_pallas=False, **kw)
+        got = solve_dmg(c, spec, x0, use_pallas=up, pallas_interpret=True,
+                        **kw)
+        assert float(got.conv) <= 1e-10
+        np.testing.assert_allclose(float(got.deff), float(ref.deff),
+                                   rtol=1e-7)
+
     def test_dmg_batched_matches_singles(self, rng):
         from effectivediffusivityfvm_tpu.solvers.dmg import (
             solve_dmg, solve_dmg_batched)
