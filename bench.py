@@ -73,9 +73,50 @@ def build_problem(batch, n, dtype):
     return coeffs, spec, x0
 
 
-def main():
+def measure_protocol_anchor(coeffs, spec, x0):
+    """MEASURED baseline anchor: the reference's own algorithm + stopping
+    protocol, on THIS hardware, timed.
+
+    One bench-medium image (batch index 0), solved serially by weighted
+    Jacobi exactly as the reference's JacobiGPU does (Deff2D.cuh:1163-1314):
+    f64, omega=2/3 (the hardcoded weight, :72), convergence on
+    |Deff-DeffOld|/Deff < 1e-5 checked every 10,000 iterations (the
+    hardcoded iterToCheck, :1174), MaxIter 5e5 (the shipped default).  The
+    reference declares convergence wherever this protocol does (often a
+    transient for hard contrasts — docs/PERFORMANCE.md case study); timing
+    that same declaration point here is the like-for-like anchor.  This is
+    the framework's OWN fused-XLA Jacobi, so the anchor is generous to the
+    reference: it has zero per-iteration launch/sync/copy overhead, which
+    the CUDA loop pays every sweep (the analytic model's ~13 us/iter).
+    Returns (solves_per_sec, iters) or None when x64 is unavailable.
+    """
     import jax
     import jax.numpy as jnp
+
+    from effectivediffusivityfvm_tpu.solvers.jacobi import solve_jacobi
+
+    c1 = jax.tree.map(lambda a: a[0].astype(jnp.float64), coeffs)
+    s1 = jax.tree.map(lambda a: a[0].astype(jnp.float64)
+                      if a.dtype.kind == "f" else a[0], spec)
+    x1 = x0[0].astype(jnp.float64)
+    if x1.dtype != jnp.float64:          # x64 disabled: no honest f64 anchor
+        return None
+    kw = dict(omega=2.0 / 3.0, tol=1e-5, max_iter=500_000,
+              check_every=10_000, criterion="deff")
+    jax.block_until_ready(
+        solve_jacobi(c1, s1, x1, **kw).x)             # compile warmup
+    t0 = time.perf_counter()
+    res = solve_jacobi(c1, s1, x1, **kw)
+    np.asarray(res.deff)                 # force fetch (lazy on axon)
+    dt = time.perf_counter() - t0
+    return 1.0 / dt, int(res.iters)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)   # f64 protocol anchor; the
+    import jax.numpy as jnp                     # bench dtypes are explicit
 
     from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg_batched
 
@@ -133,12 +174,23 @@ def main():
           f"(v5e HBM peak ~819 GB/s; plane-count model stated above)",
           file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "Deff solves/sec (batched 512x512 to 1e-6 residual)",
         "value": round(value, 3),
         "unit": "solves/sec",
         "vs_baseline": round(value / BASELINE_REF_SOLVES_PER_SEC, 2),
-    }))
+    }
+    # measured anchor (VERDICT r2 weak #2): the reference protocol itself,
+    # timed on this chip — see measure_protocol_anchor's docstring.
+    if os.environ.get("DEFF_BENCH_NO_ANCHOR", "0") != "1":
+        anchor = measure_protocol_anchor(coeffs, spec, x0)
+        if anchor is not None:
+            a_sps, a_iters = anchor
+            print(f"protocol anchor: {a_sps:.3f} solves/s "
+                  f"({a_iters} protocol iters, f64 Jacobi, serial)",
+                  file=sys.stderr)
+            out["vs_baseline_measured"] = round(value / a_sps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
