@@ -59,7 +59,7 @@ from ..fvm import StencilCoeffs
 from .vcycle_vmem import (_diag_of, _nbsum, _sel, v_cycle_pallas,
                           vcycle_fits_vmem, x32_kernel)
 
-__all__ = ["v_cycle_tiled", "tiled_band", "tiled_pad_shape"]
+__all__ = ["v_cycle_tiled", "tiled_band", "tiled_pad_shape", "coarse_tail"]
 
 HALO = 8          # fixed halo rows; nu <= 4 < HALO always valid
 _LANES = 256      # fine nx padded to this (nx/2 stays lane-aligned)
@@ -159,6 +159,31 @@ def _post_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     z_ref[0, 0] = e[h:h + H]
 
 
+def coarse_tail(levels, rc_b, *, omega, nu, coarse_iters, over, interpret):
+    """Solve the coarse correction on the banded restricted residual
+    ``rc_b`` (B, G, band/2, nx/2): whole-in-VMEM fused cycle on levels[1:]
+    when it fits, XLA cycle beyond.  Returns (B, py1, px1) padded to
+    levels[1]'s shape.  Shared with the banded CG engine
+    (cgstep_tiled.py)."""
+    bsz, g_total, hb, hx = rc_b.shape
+    ny2, nx2 = g_total * hb, hx
+    r_c = rc_b.reshape(bsz, ny2, nx2)
+    c1 = levels[1]
+    py1, px1 = c1.diag.shape[-2], c1.diag.shape[-1]
+    if (py1, px1) != (ny2, nx2):
+        r_c = jnp.pad(r_c, [(0, 0), (0, py1 - ny2), (0, px1 - nx2)])
+    if vcycle_fits_vmem(py1, px1, r_c.dtype.itemsize):
+        return v_cycle_pallas(levels[1:], r_c, omega=omega,
+                              coarse_iters=coarse_iters, over=over, nu=nu,
+                              interpret=interpret)
+    from ...solvers.multigrid import v_cycle
+
+    e_c = v_cycle(levels[1:], r_c, nu1=nu, nu2=nu, omega=omega,
+                  coarse_iters=coarse_iters, over=over)
+    return jnp.pad(e_c, [(0, 0), (0, py1 - e_c.shape[-2]),
+                         (0, px1 - e_c.shape[-1])])
+
+
 def _banded(x, band):
     """(B, ny, nx) -> banded (B, G, band, nx) plus (B, G, HALO, nx) north/
     south halo arrays (zeros beyond the global edges)."""
@@ -234,22 +259,10 @@ def v_cycle_tiled(levels: List[StencilCoeffs], r: jax.Array, *,
     )(*operands)
 
     # ---- coarse tail on the restricted residual ----
-    r_c = rc_b.reshape(bsz, ny // 2, nx // 2)
-    c1 = levels[1]
-    py1, px1 = c1.diag.shape[-2], c1.diag.shape[-1]
-    if (py1, px1) != (ny // 2, nx // 2):
-        r_c = jnp.pad(r_c, [(0, 0), (0, py1 - ny // 2), (0, px1 - nx // 2)])
-    if vcycle_fits_vmem(py1, px1, r.dtype.itemsize):
-        e_c = v_cycle_pallas(levels[1:], r_c, omega=omega,
-                             coarse_iters=coarse_iters, over=over, nu=nu,
-                             interpret=interpret)
-    else:
-        from ...solvers.multigrid import v_cycle
-
-        e_c = v_cycle(levels[1:], r_c, nu1=nu, nu2=nu, omega=omega,
-                      coarse_iters=coarse_iters, over=over)
-        e_c = jnp.pad(e_c, [(0, 0), (0, py1 - e_c.shape[-2]),
-                            (0, px1 - e_c.shape[-1])])
+    e_c = coarse_tail(levels, rc_b, omega=omega, nu=nu,
+                      coarse_iters=coarse_iters, over=over,
+                      interpret=interpret)
+    py1, px1 = e_c.shape[-2], e_c.shape[-1]
 
     # ---- up-sweep: prolong + add + post-smooth ----
     e_pre = e_b.reshape(bsz, ny, nx)

@@ -224,23 +224,58 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
 
 def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
                     criterion, nu, mg_omega, coarse_iters, min_size, over,
-                    interpret=False) -> SolveResult:
-    """Batched MGCG with the whole-iteration fused kernel (cgstep_vmem.py):
-    k = check_every full PCG iterations per kernel launch, CG state resident
-    in VMEM.  Check/restart/divergence/freeze semantics mirror
-    ``pcg.run_pcg`` (chunked checks, true-residual refresh, best-iterate
-    snapshot); monitors are evaluated on the physical (unpadded) cells.
+                    interpret=False, engine="vmem") -> SolveResult:
+    """Batched MGCG with a whole-iteration fused engine: k = check_every
+    full PCG iterations per launch.  ``engine="vmem"`` keeps the CG state
+    resident in VMEM (cgstep_vmem.py, fine grids that fit);
+    ``engine="tiled"`` runs each iteration as three banded Pallas passes
+    (cgstep_tiled.py, fine grids past the VMEM cap).  Check/restart/
+    divergence/freeze semantics mirror ``pcg.run_pcg`` (chunked checks,
+    true-residual refresh, best-iterate snapshot); monitors are evaluated
+    on the physical (unpadded) cells.
     """
-    from ..ops.kernels.cgstep_vmem import cg_steps_pallas
-    from ..ops.kernels.vcycle_vmem import v_cycle_pallas
-
     bsz, ny, nx = coeffs.b.shape
-    levels = build_hierarchy(coeffs, min_size=min_size, pad_levels=True)
-    lvl0 = levels[0]
-    py, px = lvl0.diag.shape[-2], lvl0.diag.shape[-1]
-    pad = (py != ny) or (px != nx)
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
+    if engine == "tiled":
+        from ..ops.kernels.cgstep_tiled import cg_steps_tiled
+        from ..ops.kernels.vcycle_tiled import (tiled_band, tiled_pad_shape,
+                                                v_cycle_tiled)
+
+        band = tiled_band(ny, nx, coeffs.diag.dtype.itemsize)
+        py, px = tiled_pad_shape(ny, nx, band)
+        levels = build_hierarchy(_pad_op(coeffs, py - ny, px - nx),
+                                 min_size=min_size, pad_levels=True)
+
+        def cg_steps(x, r, p, rz, active, stop_s, hi_s, k):
+            return cg_steps_tiled(
+                levels, x, r, p, rz, active, stop_s, hi_s, k,
+                omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
+                band=band, interpret=interpret)
+
+        def cycle(r):
+            return v_cycle_tiled(levels, r, omega=mg_omega,
+                                 coarse_iters=coarse_iters, over=over,
+                                 nu=nu, band=band, interpret=interpret)
+    else:
+        from ..ops.kernels.cgstep_vmem import cg_steps_pallas
+        from ..ops.kernels.vcycle_vmem import v_cycle_pallas
+
+        levels = build_hierarchy(coeffs, min_size=min_size, pad_levels=True)
+        py, px = levels[0].diag.shape[-2], levels[0].diag.shape[-1]
+
+        def cg_steps(x, r, p, rz, active, stop_s, hi_s, k):
+            return cg_steps_pallas(
+                levels, x, r, p, rz, active, stop_s, hi_s, k,
+                omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
+                interpret=interpret)
+
+        def cycle(r):
+            return v_cycle_pallas(levels, r, omega=mg_omega,
+                                  coarse_iters=coarse_iters, over=over,
+                                  nu=nu, interpret=interpret)
+    lvl0 = levels[0]
+    pad = (py != ny) or (px != nx)
 
     def pad_to(a):
         return jnp.pad(a, [(0, 0), (0, py - ny), (0, px - nx)]) if pad else a
@@ -253,11 +288,6 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
 
     def matvec(v):
         return fvm.apply_operator(lvl0, v)
-
-    def cycle(r):
-        return v_cycle_pallas(levels, r, omega=mg_omega,
-                              coarse_iters=coarse_iters, over=over, nu=nu,
-                              interpret=interpret)
 
     def mean_abs(v):
         return jnp.mean(jnp.abs(unpad(v)), axis=(-2, -1))
@@ -301,11 +331,9 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         active = tol_ < jnp.abs(pc)
         k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
         hi_sum = 1e3 * best * npts    # in-kernel divergence tripwire
-        x, r, p, rz1, kdone = cg_steps_pallas(
-            levels, x, r, p, rz[:, None], active.astype(dtype)[:, None],
-            stop_sum[:, None], hi_sum[:, None], k,
-            omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
-            interpret=interpret)
+        x, r, p, rz1, kdone = cg_steps(
+            x, r, p, rz[:, None], active.astype(dtype)[:, None],
+            stop_sum[:, None], hi_sum[:, None], k)
         rz = rz1[:, 0]
         it_new = it + k
         iters = iters + jnp.where(active, kdone[:, 0], 0)
@@ -393,11 +421,12 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             if cgstep_fits_vmem(ny + ny % 2, nx + nx % 2):
                 use_pallas = "cgstep"
 
-    if use_pallas == "cgstep":
-        # whole-iteration fusion: CG state + pyramid resident in VMEM for
-        # check_every iterations per launch (ops/kernels/cgstep_vmem.py)
+    if use_pallas in ("cgstep", "tiled"):
+        # whole-iteration fusion: "cgstep" keeps the CG state + pyramid
+        # resident in VMEM (cgstep_vmem.py); "tiled" runs each iteration as
+        # three banded passes past the VMEM cap (cgstep_tiled.py)
         if nu1 != nu2:
-            raise ValueError("the fused CG kernel implements V(nu, nu)")
+            raise ValueError("the fused CG engines implement V(nu, nu)")
         hier_coeffs = coeffs if batched else jax.tree.map(
             lambda a: a[None], coeffs)
         hier_spec = spec if batched else jax.tree.map(
@@ -407,15 +436,16 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             tol=tol, max_iter=max_iter, check_every=check_every,
             criterion=criterion, nu=nu1, mg_omega=omega,
             coarse_iters=coarse_iters, min_size=min_size, over=over,
-            interpret=pallas_interpret)
+            interpret=pallas_interpret,
+            engine="tiled" if use_pallas == "tiled" else "vmem")
         if not batched:
             res = jax.tree.map(lambda a: a[0], res)
         return res
 
-    if use_pallas == "tiled":
-        # row-tiled streaming cycle for fine grids past the VMEM cap
-        # (ops/kernels/vcycle_tiled.py): bands on the fine level, the
-        # coarse tail whole-in-VMEM
+    if use_pallas == "tiledcycle":
+        # row-tiled streaming cycle as an XLA-CG preconditioner only
+        # (ops/kernels/vcycle_tiled.py): kept for comparison/debugging —
+        # production large grids ride the fully fused "tiled" engine above
         from ..ops.kernels.vcycle_tiled import (tiled_band, tiled_pad_shape,
                                                 v_cycle_tiled)
 

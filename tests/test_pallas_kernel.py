@@ -262,6 +262,62 @@ class TestTPUSmoke:
                                    np.asarray(z_ref)[0, :ny, :nx],
                                    atol=1e-4 * scale)
 
+    def test_tiled_cgstep_kernel_compiled(self):
+        # banded whole-CG-iteration engine (cgstep_tiled.py): 3 Mosaic
+        # kernels + the whole-VMEM coarse tail, vs a hand-rolled PCG loop
+        # with the same (compiled) tiled preconditioner
+        from effectivediffusivityfvm_tpu.ops.kernels.cgstep_tiled import (
+            cg_steps_tiled)
+        from effectivediffusivityfvm_tpu.ops.kernels.vcycle_tiled import (
+            tiled_pad_shape, v_cycle_tiled)
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            _pad_op, build_hierarchy)
+
+        rng = np.random.default_rng(4)
+        ny = nx = 256
+        band = 64
+        k = 3
+        d = jnp.asarray(
+            np.where(rng.random((ny, nx)) < 0.6, 1.0, 1e-3), jnp.float32)
+        c = fvm.fvm_coefficients(d, 0.0, 1.0)
+        py, px = tiled_pad_shape(ny, nx, band)
+        lv = build_hierarchy(
+            _pad_op(jax.tree.map(lambda a: a[None], c), py - ny, px - nx),
+            min_size=16, pad_levels=True)
+        mg = dict(omega=0.8, nu=2, coarse_iters=32, over=1.8)
+
+        def cyc(r):
+            return v_cycle_tiled(lv, r, band=band, **mg)
+
+        def dot(u, v):
+            return jnp.sum(u * v, axis=(-2, -1))
+
+        x = jnp.zeros((1, py, px), jnp.float32)
+        r = lv[0].b
+        z = cyc(r)
+        rz = dot(r, z)
+        ones = jnp.ones((1, 1), jnp.float32)
+        gx, gr, _gp, grz, gk = cg_steps_tiled(
+            lv, x, r, z, rz[:, None], ones, 0.0 * ones, 1e30 * ones,
+            jnp.asarray(k, jnp.int32), band=band, **mg)
+        assert int(gk[0, 0]) == k
+
+        xe, re, ze, rzc, rzp, pe = x, r, z, rz, rz, z
+        for i in range(k):
+            beta = 0.0 if i == 0 else rzc / rzp
+            pe = ze + beta[:, None, None] * pe if i else ze
+            q = fvm.apply_operator(lv[0], pe)
+            alpha = (rzc / dot(pe, q))[:, None, None]
+            xe = xe + alpha * pe
+            re = re - alpha * q
+            ze = cyc(re)
+            rzp, rzc = rzc, dot(re, ze)
+        scale = float(jnp.max(jnp.abs(xe)))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(xe),
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(np.asarray(grz[:, 0]), np.asarray(rzc),
+                                   rtol=1e-3)
+
 
 class TestFusedCGStep:
     """Whole-CG-iteration fused kernel (ops/kernels/cgstep_vmem.py) vs the
@@ -309,6 +365,97 @@ class TestFusedCGStep:
             np.testing.assert_allclose(float(got.deff[k]), float(solo.deff[0]),
                                        rtol=1e-9)
             assert int(got.iters[k]) == int(solo.iters[0])
+
+    def test_tiled_engine_matches_xla_engine(self, rng):
+        """Banded whole-CG-iteration engine (ops/kernels/cgstep_tiled.py):
+        same algorithm and check/restart schedule as the XLA path, batched."""
+        solve, coeffs, spec, x0 = self._problem(rng, bsz=2, ny=20, nx=28)
+        kw = dict(tol=1e-9, max_iter=500, check_every=10,
+                  criterion="residual", nu1=2, nu2=2)
+        ref = solve(coeffs, spec, x0, use_pallas=False, **kw)
+        got = solve(coeffs, spec, x0, use_pallas="tiled",
+                    pallas_interpret=True, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-9)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_tiled_engine_freezes_converged_images(self, rng):
+        """Per-image in-kernel early exit of the banded engine: a batch
+        result is identical (deff + iteration count) to solo runs."""
+        solve, coeffs, spec, x0 = self._problem(rng, bsz=3, contrast=1e6,
+                                                ny=20, nx=28)
+        kw = dict(tol=1e-8, max_iter=800, check_every=10,
+                  criterion="residual", nu1=2, nu2=2)
+        got = solve(coeffs, spec, x0, use_pallas="tiled",
+                    pallas_interpret=True, **kw)
+        solos = [
+            solve(jax.tree.map(lambda a, k=k: a[k:k+1], coeffs),
+                  jax.tree.map(lambda a, k=k: jnp.asarray(a)[k:k+1], spec),
+                  x0[k:k+1], use_pallas="tiled", pallas_interpret=True, **kw)
+            for k in range(3)
+        ]
+        for k, solo in enumerate(solos):
+            np.testing.assert_allclose(float(got.deff[k]), float(solo.deff[0]),
+                                       rtol=1e-9)
+            assert int(got.iters[k]) == int(solo.iters[0])
+
+    def test_tiled_engine_multiband_iteration_parity(self, rng):
+        """cg_steps_tiled with band=8 on a 4-band grid vs a hand-rolled PCG
+        loop with the same (tiled) preconditioner: checks inter-band halos
+        and the cross-band SMEM accumulation of pap / rz / sum|r|."""
+        from effectivediffusivityfvm_tpu.ops.kernels.cgstep_tiled import (
+            cg_steps_tiled)
+        from effectivediffusivityfvm_tpu.ops.kernels.vcycle_tiled import (
+            tiled_pad_shape, v_cycle_tiled)
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            _pad_op, build_hierarchy)
+
+        band, ny, nx, bsz, k = 8, 32, 24, 2, 4
+        d = np.exp(rng.uniform(0, np.log(1e3), (bsz, ny, nx)))
+        dj = jnp.asarray(d, jnp.float32)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(
+            dj, 0.0, 1.0)
+        py, px = tiled_pad_shape(ny, nx, band)
+        lv = build_hierarchy(_pad_op(coeffs, py - ny, px - nx),
+                             min_size=4, pad_levels=True)
+        mg = dict(omega=0.8, nu=2, coarse_iters=16, over=1.8)
+
+        def cyc(r):
+            return v_cycle_tiled(lv, r, band=band, interpret=True, **mg)
+
+        def dot(u, v):
+            return jnp.sum(u * v, axis=(-2, -1))
+
+        x = jnp.zeros((bsz, py, px), jnp.float32)
+        r = lv[0].b
+        z = cyc(r)
+        rz = dot(r, z)
+        ones = jnp.ones((bsz, 1), jnp.float32)
+        gx, gr, gp, grz, gk = cg_steps_tiled(
+            lv, x, r, z, rz[:, None], ones, 0.0 * ones, 1e30 * ones,
+            jnp.asarray(k, jnp.int32), band=band, interpret=True, **mg)
+        assert np.all(np.asarray(gk) == k)
+
+        xe, re, ze, rzc, rzp, pe = x, r, z, rz, rz, z
+        for i in range(k):
+            beta = 0.0 if i == 0 else rzc / rzp
+            pe = ze + beta[:, None, None] * pe if i else ze
+            q = fvm.apply_operator(lv[0], pe)
+            alpha = (rzc / dot(pe, q))[:, None, None]
+            xe = xe + alpha * pe
+            re = re - alpha * q
+            ze = cyc(re)
+            rzp, rzc = rzc, dot(re, ze)
+        scale = float(jnp.max(jnp.abs(xe)))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(xe),
+                                   atol=1e-4 * scale)
+        rscale = float(jnp.max(jnp.abs(re)))
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(re),
+                                   rtol=1e-3, atol=1e-4 * rscale)
+        np.testing.assert_allclose(np.asarray(grz[:, 0]), np.asarray(rzc),
+                                   rtol=1e-3)
 
     def test_fused_single_image_wrapper(self, rng):
         from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg
