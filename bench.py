@@ -131,10 +131,18 @@ def main():
     # VMEM for check_every iterations per launch, auto-selected) -> 530
     # (frozen images skip their compute inside the sequential kernel grid
     # via pl.when predication - in-kernel batch compaction) -> 599
-    # (check_every=20: half the restart/monitor overhead; V(2,2) still beats
-    # V(1,1)/V(3,3) in the compute-bound regime - sweep in git history).
+    # (check_every=20: half the restart/monitor overhead) -> 675 (in-kernel
+    # early exit + divergence tripwire) -> ~754 (round-3 compute-tail sweep:
+    # a DEEP hierarchy with a tiny coarse solve beats a truncated one once
+    # the pyramid is VMEM-resident — min_size=8/coarse_iters=8 cuts ~350
+    # sequential coarse-sweep ops to ~90, and V(3,3) then wins on iteration
+    # count (12..23 vs 14..31) since in-VMEM sweeps are nearly free;
+    # benchmarks/bench_tail_sweep.py).  Larger check_every LOSES despite
+    # the early exit: the true-residual refresh doubles as a CG restart
+    # that keeps fp32 recurrence drift in check (14..31 -> 14..70 iters at
+    # check_every=60).
     kw = dict(tol=TOL, max_iter=3_000, check_every=20, criterion="residual",
-              min_size=16, coarse_iters=32, nu1=2, nu2=2, over=1.8)
+              min_size=8, coarse_iters=8, nu1=3, nu2=3, over=1.8)
 
     # warmup: compile + one full solve
     t0 = time.perf_counter()

@@ -74,6 +74,12 @@ class SimulationConfig:
                                       #   (cgstep_vmem.py) closes both in-kernel;
                                       #   for XLA-path solvers keep check_every
                                       #   <= ~2x the expected iteration spread.
+                                      #   Even WITH the in-kernel early exit,
+                                      #   cadences past ~20 lose on the fused
+                                      #   path (measured r3: 14..31 -> 14..70
+                                      #   iterations at 60): the per-check
+                                      #   refresh doubles as a CG restart that
+                                      #   bounds fp32 recurrence drift.
     omega: float = 0.0                # relaxation factor; 0 = solver default
                                       #   (jacobi: 2/3, the reference's hardcoded
                                       #    weight Deff2D.cuh:72; rbsor: SOR-optimal

@@ -43,6 +43,7 @@ hot-kernel analog: updateX_SOR, Deff2D.cuh:69-92.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import jax
@@ -53,6 +54,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fvm import StencilCoeffs
 
 __all__ = ["v_cycle_pallas", "vcycle_fits_vmem"]
+
+# MXU precision for the in-kernel restriction/prolongation matmuls.
+# HIGHEST (6-pass bf16) is required for fidelity: plain bf16 (DEFAULT)
+# rounds the residual operand and measurably degrades the preconditioner
+# (doubled tail iteration counts — round-2 sweep).  Mosaic does NOT lower
+# Precision.HIGH (probed: "Unsupported dot precision: HIGH"), so the only
+# cheaper option would be a manual 3-way bf16 split.  Env override for
+# experiments only.
+_MM_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("DEFF_MM_PREC", "highest")]
 
 
 def x32_kernel(fn):
@@ -145,10 +158,10 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
         ry = _sel(nyc, res.shape[0], res.dtype)
         rx = _sel(nxc, res.shape[1], res.dtype)
         t = jnp.dot(ry, res, preferred_element_type=res.dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_MM_PREC)
         rs.append(jax.lax.dot_general(
             t, rx, (((1,), (1,)), ((), ())), preferred_element_type=res.dtype,
-            precision=jax.lax.Precision.HIGHEST))
+            precision=_MM_PREC))
 
     lc = n_levels - 1
     e = jnp.zeros(shapes[lc], rs[lc].dtype)
@@ -161,9 +174,9 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
         rx = _sel(nxc, nx, e.dtype)
         t = jax.lax.dot_general(
             ry, e, (((0,), (0,)), ((), ())), preferred_element_type=e.dtype,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_MM_PREC)
         ep = jnp.dot(t, rx, preferred_element_type=e.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_MM_PREC)
         e = es[l] + over * ep
         for _ in range(nu):
             e = smooth(l, e, rs[l])
