@@ -1,0 +1,326 @@
+"""Banded 3D whole-CG-iteration engine: the voxel twin of cgstep_tiled.py.
+
+Each MGCG iteration on a (B, nz, ny, nx) batch runs as THREE z-slab Pallas
+passes with scalar reductions carried in SMEM between them, the whole
+iteration loop one ``lax.while_loop`` with the same per-image early exit /
+divergence-tripwire / freeze contract as the 2D engines:
+
+  A  p = z + beta*p_old (windowed, halos exact), q = A p in-window,
+     accumulate pap = <p, q> across the sequential slab grid
+  B  x += alpha*p, r -= alpha*q (q recomputed in-window), then T1 of the
+     banded 3D cycle (pre-smooth + residual + 2x2x2 restriction) on the
+     fresh r, accumulating sum|r| for the early exit
+  C  coarse tail (vcycle3d.coarse_tail3 — recursive: at 256^3 the 128^3
+     level bands again) + T2 (prolong + add + post-smooth) producing z,
+     accumulating rz = <r, z>
+
+Window-validity: q needs one neighbor slice; nu smoothing sweeps + the
+level residual need nu+1 more — HALO_Z = 4 covers nu <= 3 (see
+vcycle3d.py's invariant).
+
+The 3D solvers previously ran all of this as XLA ops (~38 ms/iteration at
+256^3); reference analog: the reference is strictly 2D — this is the
+framework's scale axis (SURVEY §6, BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fvm3d import StencilCoeffs3D
+from .vcycle_vmem import _diag_of, x32_kernel
+from .vcycle3d import (HALO_Z, _nbsum3, _prolong3_yx, _restrict3_yx,
+                       _smooth3, _specs3, _win3, banded3, coarse_tail3)
+
+__all__ = ["cg_steps3d_tiled"]
+
+
+def _scal_spec(bsz):
+    return pl.BlockSpec((bsz, 1), lambda b, g: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
+             anb, ann, ans, aub, aun, aus, dib, din, dis, p_out, pap_ref,
+             *, BZ):
+    h = HALO_Z
+    b, g = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        pap_ref[b, 0] = 0.0
+
+    @pl.when(live_ref[b, 0] > 0)
+    def _run():
+        beta = beta_ref[b, 0]
+        pw = _win3(zn, zb, zs) + beta * _win3(pn, pb, ps)
+        aww = _win3(awn, awb, aws)
+        anw = _win3(ann, anb, ans)
+        auw = _win3(aun, aub, aus)
+        dgw = _diag_of(_win3(din, dib, dis))
+        q = dgw * pw - _nbsum3(aww, anw, auw, pw)     # valid margin 1
+        pbnd = pw[h:h + BZ]
+        p_out[...] = pbnd
+        pap_ref[b, 0] += jnp.sum(pbnd * q[h:h + BZ])
+
+    @pl.when(live_ref[b, 0] <= 0)
+    def _skip():
+        p_out[...] = pb[...]
+
+
+def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
+             anb, ann, ans, aub, aun, aus, dib, din, dis, x_out, r_out,
+             e_out, rc_out, sr_ref, *, BZ, nyc, nxc, omega, nu):
+    h = HALO_Z
+    b, g = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        sr_ref[b, 0] = 0.0
+
+    @pl.when(live_ref[b, 0] > 0)
+    def _run():
+        alpha = alpha_ref[b, 0]
+        pw = _win3(pn, pb, ps)
+        aww = _win3(awn, awb, aws)
+        anw = _win3(ann, anb, ans)
+        auw = _win3(aun, aub, aus)
+        diw = _win3(din, dib, dis)
+        dgw = _diag_of(diw)
+        q = dgw * pw - _nbsum3(aww, anw, auw, pw)     # valid margin 1
+        rw = _win3(rn, rb, rs) - alpha * q            # valid margin 1
+        x_out[...] = xb[...] + alpha * pb[...]
+
+        e = omega * diw * rw
+        for _ in range(nu - 1):
+            e = _smooth3(aww, anw, auw, diw, e, rw, omega)
+        res = rw - (dgw * e - _nbsum3(aww, anw, auw, e))  # margin nu+2 <= HZ
+
+        rbnd = rw[h:h + BZ]
+        r_out[...] = rbnd
+        e_out[...] = e[h:h + BZ]
+        sr_ref[b, 0] += jnp.sum(jnp.abs(rbnd))
+        resb = res[h:h + BZ]
+        t = resb.reshape(BZ // 2, 2, resb.shape[1], resb.shape[2]).sum(axis=1)
+        rc_out[...] = _restrict3_yx(t, nyc, nxc)
+
+    @pl.when(live_ref[b, 0] <= 0)
+    def _skip():
+        x_out[...] = xb[...]
+        r_out[...] = rb[...]
+        e_out[...] = jnp.zeros_like(e_out[...])
+        rc_out[...] = jnp.zeros_like(rc_out[...])
+
+
+def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
+             ans, aub, aun, aus, dib, din, dis, ecb, ecn, ecs, z_out,
+             rz_ref, *, BZ, omega, nu, over):
+    h = HALO_Z
+    b, g = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        rz_ref[b, 0] = 0.0
+
+    @pl.when(live_ref[b, 0] > 0)
+    def _run():
+        ew = _win3(en, eb, es_)
+        rw = _win3(rn, rb, rs)
+        aww = _win3(awn, awb, aws)
+        anw = _win3(ann, anb, ans)
+        auw = _win3(aun, aub, aus)
+        diw = _win3(din, dib, dis)
+
+        ecw = jnp.concatenate([ecn[...], ecb[...], ecs[...]], axis=0)
+        ny, nx = ew.shape[1], ew.shape[2]
+        t = _prolong3_yx(ecw, ny, nx)
+        nzh = t.shape[0]
+        t = jnp.broadcast_to(t[:, None], (nzh, 2, ny, nx)).reshape(
+            2 * nzh, ny, nx)
+
+        e = ew + over * t
+        for _ in range(nu):
+            e = _smooth3(aww, anw, auw, diw, e, rw, omega)
+        zb = e[h:h + BZ]
+        z_out[...] = zb
+        rz_ref[b, 0] += jnp.sum(rb[...] * zb)
+
+    @pl.when(live_ref[b, 0] <= 0)
+    def _skip():
+        z_out[...] = jnp.zeros_like(z_out[...])
+
+
+def _halos3(xb, bsz, g_total, band, ny, nx):
+    """Flattened banded (B*G*band, ny, nx) -> (north, south) flattened
+    (B*G*HALO_Z, ny, nx) halo arrays."""
+    x5 = xb.reshape(bsz, g_total, band, ny, nx)
+    zero = jnp.zeros((bsz, 1, HALO_Z, ny, nx), xb.dtype)
+    north = jnp.concatenate([zero, x5[:, :-1, band - HALO_Z:]], axis=1)
+    south = jnp.concatenate([x5[:, 1:, :HALO_Z], zero], axis=1)
+
+    def flat(a):
+        return a.reshape((-1,) + a.shape[-2:])
+
+    return flat(north), flat(south)
+
+
+@functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
+                                             "over", "band", "interpret"))
+@x32_kernel
+def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
+                     r: jax.Array, p: jax.Array, rz: jax.Array,
+                     active: jax.Array, stop: jax.Array, hi: jax.Array,
+                     k: jax.Array, *, omega: float = 0.8, nu: int = 2,
+                     coarse_iters: int = 32, over: float = 1.8,
+                     band: int = 16, interpret: bool = False):
+    """Run up to ``k`` banded 3D MGCG iterations on a (B, nz, ny, nx) batch.
+
+    Same contract as :func:`cgstep_vmem.cg_steps_pallas` / 2D
+    ``cg_steps_tiled`` (levels from ``build_hierarchy_3d(pad_levels=True)``
+    on an operator padded to ``pad_shape_3d``; nz % band == 0): returns
+    (x, r, p, rz, k_done)."""
+    bsz, nz, ny, nx = x.shape
+    if nz % band or band % 2 or nu > HALO_Z - 1:
+        raise ValueError(f"cg_steps3d_tiled: nz={nz} % band={band}, band "
+                         f"even, nu<={HALO_Z - 1} required")
+    c0 = levels[0]
+    g_total = nz // band
+    dtype = x.dtype
+    ny1, nx1 = levels[1].diag.shape[-2:]
+
+    coef_ops = []
+    for plane in (c0.a_w, c0.a_n, c0.a_u, c0.diag_inv):
+        coef_ops.extend(banded3(plane.reshape(x.shape), band))
+
+    body, halo = _specs3(g_total, band, ny, nx)
+    cspec = [body, halo, halo]
+    scal = _scal_spec(bsz)
+    scal_out = pl.BlockSpec((bsz, 1), lambda b, g: (0, 0),
+                            memory_space=pltpu.SMEM)
+    win_bytes = (band + 2 * HALO_Z) * ny * nx * dtype.itemsize
+
+    def params(extra=0):
+        if interpret:
+            return {}
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(40 * win_bytes + extra), 112 << 20))}
+
+    scal_shape = jax.ShapeDtypeStruct((bsz, 1), dtype)
+    band_shape = jax.ShapeDtypeStruct((bsz * nz, ny, nx), dtype)
+    rc_shape = jax.ShapeDtypeStruct((bsz * g_total * (band // 2), ny1, nx1),
+                                    dtype)
+    rc_spec = pl.BlockSpec((band // 2, ny1, nx1),
+                           lambda b, g: (b * g_total + g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ech_spec = pl.BlockSpec((HALO_Z // 2, ny1, nx1),
+                            lambda b, g: (b * g_total + g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    pa = pl.pallas_call(
+        functools.partial(_pass_a3, BZ=band),
+        grid=(bsz, g_total),
+        in_specs=[scal, scal] + cspec * 2 + cspec * 4,
+        out_shape=[band_shape, scal_shape],
+        out_specs=[body, scal_out],
+        interpret=interpret,
+        **params(),
+    )
+    pb_ = pl.pallas_call(
+        functools.partial(_pass_b3, BZ=band, nyc=ny1, nxc=nx1, omega=omega,
+                          nu=nu),
+        grid=(bsz, g_total),
+        in_specs=[scal, scal, body] + cspec * 2 + cspec * 4,
+        out_shape=[band_shape, band_shape, band_shape, rc_shape, scal_shape],
+        out_specs=[body, body, body, rc_spec, scal_out],
+        interpret=interpret,
+        **params(),
+    )
+    pc = pl.pallas_call(
+        functools.partial(_pass_c3, BZ=band, omega=omega, nu=nu, over=over),
+        grid=(bsz, g_total),
+        in_specs=[scal] + cspec * 2 + cspec * 4 + [rc_spec, ech_spec,
+                                                   ech_spec],
+        out_shape=[band_shape, scal_shape],
+        out_specs=[body, scal_out],
+        interpret=interpret,
+        **params(extra=3 * (band // 2 + HALO_Z) * ny1 * nx1
+                 * dtype.itemsize),
+    )
+
+    stop_ = stop[:, 0]
+    hi_ = hi[:, 0]
+    zeros_s = jnp.zeros((), dtype)
+
+    def to_b(a):
+        return a.reshape(bsz * nz, ny, nx)
+
+    def halos(a):
+        return _halos3(a, bsz, g_total, band, ny, nx)
+
+    def flatc(a):
+        return a.reshape((-1,) + a.shape[-2:])
+
+    sr0 = jnp.sum(jnp.abs(r), axis=(-3, -2, -1))
+    live0 = (active[:, 0] > 0) & (sr0 > stop_) & (sr0 < hi_)
+
+    def cond(c):
+        return (c[0] < k) & jnp.any(c[-1])
+
+    def body_fn(c):
+        (i, xb, rb, pb, zb, rz_p, rz_c, kdone, sr, live) = c
+        livef = live.astype(dtype)[:, None]
+        beta = jnp.where((i > 0) & live & (rz_p > 0),
+                         rz_c / jnp.where(rz_p > 0, rz_p, 1.0), zeros_s)
+        zn, zs = halos(zb)
+        pn, ps = halos(pb)
+        p_new, pap = pa(beta[:, None].astype(dtype), livef,
+                        zb, zn, zs, pb, pn, ps, *coef_ops)
+        pap = pap[:, 0]
+        alpha = jnp.where(live & (pap > 0),
+                          rz_c / jnp.where(pap > 0, pap, 1.0), zeros_s)
+        pn2, ps2 = halos(p_new)
+        rn, rs = halos(rb)
+        x_new, r_new, e_b, rc_b, sr_out = pb_(
+            alpha[:, None].astype(dtype), livef, xb,
+            p_new, pn2, ps2, rb, rn, rs, *coef_ops)
+        e_c = coarse_tail3(levels, rc_b, bsz, omega=omega, nu=nu,
+                           coarse_iters=coarse_iters, over=over,
+                           interpret=interpret)
+        ecg = e_c[:, : nz // 2].reshape(bsz, g_total, band // 2, ny1, nx1)
+        zc = jnp.zeros((bsz, 1, HALO_Z // 2, ny1, nx1), dtype)
+        ecn = jnp.concatenate(
+            [zc, ecg[:, :-1, band // 2 - HALO_Z // 2:]], axis=1)
+        ecs = jnp.concatenate([ecg[:, 1:, : HALO_Z // 2], zc], axis=1)
+        en, es_ = halos(e_b)
+        rn2, rs2 = halos(r_new)
+        z_new, rz_out = pc(livef, e_b, en, es_, r_new, rn2, rs2,
+                           *coef_ops, flatc(ecg), flatc(ecn), flatc(ecs))
+        sr_new = jnp.where(live, sr_out[:, 0], sr)
+        rz_new = jnp.where(live, rz_out[:, 0], rz_c)
+        rz_p_new = jnp.where(live, rz_c, rz_p)
+        z_keep = jnp.where(live.reshape(bsz, 1, 1, 1),
+                           z_new.reshape(bsz, nz, ny, nx),
+                           zb.reshape(bsz, nz, ny, nx)).reshape(
+                               bsz * nz, ny, nx)
+        kdone = kdone + live.astype(jnp.int32)
+        live = live & (sr_new > stop_) & (sr_new < hi_)
+        return (i + 1, x_new, r_new, p_new, z_keep, rz_p_new, rz_new,
+                kdone, sr_new, live)
+
+    init = (jnp.asarray(0, jnp.int32), to_b(x), to_b(r), to_b(p), to_b(p),
+            rz[:, 0].astype(dtype), rz[:, 0].astype(dtype),
+            jnp.zeros((bsz,), jnp.int32), sr0, live0)
+    out = jax.lax.while_loop(cond, body_fn, init)
+    (_i, xb, rb, pb, _zb, _rzp, rz_c, kdone, _sr, _live) = out
+
+    def unflat(a):
+        return a.reshape(bsz, nz, ny, nx)
+
+    return (unflat(xb), unflat(rb), unflat(pb), rz_c[:, None],
+            kdone[:, None])

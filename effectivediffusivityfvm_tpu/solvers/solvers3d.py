@@ -118,10 +118,18 @@ def coarsen_3d(c: StencilCoeffs3D) -> StencilCoeffs3D:
                            diag_c, diag_inv, b_c)
 
 
-def build_hierarchy_3d(c: StencilCoeffs3D, min_size: int = 4) -> List[StencilCoeffs3D]:
+def build_hierarchy_3d(c: StencilCoeffs3D, min_size: int = 4,
+                       pad_levels: bool = False) -> List[StencilCoeffs3D]:
+    """Fine-to-coarse operator list; ``pad_levels=True`` stores every level
+    pre-padded to even dims (decoupled identity voxels), required by the
+    fused Pallas cycles (ops/kernels/vcycle3d.py)."""
+    if pad_levels:
+        c = _pad_even_3d(c)
     levels = [c]
     while min(c.diag.shape[-3:]) > min_size:
         c = coarsen_3d(c)
+        if pad_levels:
+            c = _pad_even_3d(c)
         levels.append(c)
     return levels
 
@@ -262,6 +270,164 @@ def solve_rbsor_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
     )
 
 
+def _pallas_auto_3d(coeffs, nu1, nu2):
+    """Default 3D kernel selection: the banded fused whole-CG-iteration
+    engine (ops/kernels/cgstep3d.py) on TPU fp32 V(nu, nu), nu <= 3 —
+    a volume small enough for one band degenerates to a whole-window
+    residency, so one engine covers every size."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu" or nu1 != nu2 or nu1 > 3:
+        return False
+    if coeffs.diag.dtype != jnp.float32:
+        return False
+    return "tiled3d"
+
+
+def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
+                      criterion, nu, mg_omega, coarse_iters, min_size, over,
+                      interpret=False) -> SolveResult:
+    """Batched 3D MGCG on the banded fused engine: k = check_every full PCG
+    iterations per launch (ops/kernels/cgstep3d.py), check/restart/
+    divergence/freeze semantics mirroring the 2D fused driver
+    (solvers/multigrid._run_mgcg_fused)."""
+    from ..ops.kernels.cgstep3d import cg_steps3d_tiled
+    from ..ops.kernels.vcycle3d import (band_z_for, pad_op_3d, pad_shape_3d,
+                                        v_cycle3d_tiled)
+
+    bsz, nz, ny, nx = coeffs.b.shape
+    dtype = x0.dtype
+    tol_ = jnp.asarray(tol, dtype)
+
+    band = band_z_for(nz, ny + ny % 2, nx + nx % 2, coeffs.diag.dtype.itemsize)
+    pz, py, px = pad_shape_3d(nz, ny, nx, band)
+    levels = build_hierarchy_3d(
+        pad_op_3d(coeffs, pz - nz, py - ny, px - nx),
+        min_size=min_size, pad_levels=True)
+    pz, py, px = levels[0].diag.shape[-3:]
+    lvl0 = levels[0]
+    pad = (pz, py, px) != (nz, ny, nx)
+
+    def pad_to(a):
+        if not pad:
+            return a
+        return jnp.pad(a, [(0, 0), (0, pz - nz), (0, py - ny), (0, px - nx)])
+
+    def unpad(a):
+        return a[..., :nz, :ny, :nx] if pad else a
+
+    def cg_steps(x, r, p, rz, active, stop_s, hi_s, k):
+        return cg_steps3d_tiled(
+            levels, x, r, p, rz, active, stop_s, hi_s, k,
+            omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
+            band=band, interpret=interpret)
+
+    def cycle(r):
+        return v_cycle3d_tiled(levels, r, omega=mg_omega, nu=nu,
+                               coarse_iters=coarse_iters, over=over,
+                               band=band, interpret=interpret)
+
+    b_p = lvl0.b
+    x_p = pad_to(x0)
+
+    def matvec(v):
+        return fvm3d.apply_operator_3d(lvl0, v)
+
+    def mean_abs(v):
+        return jnp.mean(jnp.abs(unpad(v)), axis=(-3, -2, -1))
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=(-3, -2, -1))
+
+    def expand(v):
+        return v[:, None, None, None]
+
+    bscale = mean_abs(b_p) if criterion == "relresidual" else None
+
+    npts = jnp.asarray(nz * ny * nx, dtype)
+    if criterion == "residual":
+        stop_sum = jnp.full((bsz,), tol, dtype) * npts
+    elif criterion == "relresidual":
+        stop_sum = tol_ * bscale * npts
+    else:
+        stop_sum = jnp.zeros((bsz,), dtype)
+
+    def deff_fn(xp):
+        return boundary_deff_3d(spec, unpad(xp))
+
+    def fresh(xp):
+        r = b_p - matvec(xp)
+        z = cycle(r)
+        return r, z, dot(r, z)
+
+    def cond(c):
+        pc, it = c[8], c[5]
+        return jnp.any(tol_ < jnp.abs(pc)) & (it < max_iter)
+
+    def body(c):
+        (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
+         bad) = c
+        active = tol_ < jnp.abs(pc)
+        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        hi_sum = 1e3 * best * npts
+        x, r, p, rz1, kdone = cg_steps(
+            x, r, p, rz[:, None], active.astype(dtype)[:, None],
+            stop_sum[:, None], hi_sum[:, None], k)
+        rz = rz1[:, 0]
+        it_new = it + k
+        iters = iters + jnp.where(active, kdone[:, 0], 0)
+        do_check = ((it_new - 1) % check_every) == 0
+
+        r_true, z_true, rz_true = fresh(x)
+        refresh = expand(do_check & active)
+        r = jnp.where(refresh, r_true, r)
+        p = jnp.where(refresh, z_true, p)
+        rz = jnp.where(do_check & active, rz_true, rz)
+
+        r_mean = mean_abs(r_true)
+        improved = do_check & active & (r_mean < best)
+        x_best = jnp.where(expand(improved), x, x_best)
+        best = jnp.where(improved, r_mean, best)
+        diverged = do_check & active & (
+            ~jnp.isfinite(r_mean) | (r_mean > 1e3 * best))
+
+        deff_new = deff_fn(x)
+        if criterion == "deff":
+            pc_new = (deff_old - deff_new) / deff_old
+        elif criterion == "relresidual":
+            pc_new = r_mean / bscale
+        else:
+            pc_new = r_mean
+
+        upd = do_check & active
+        deff = jnp.where(upd, deff_new, deff)
+        if criterion == "deff":
+            deff_old = jnp.where(upd, deff_new, deff_old)
+        pc = jnp.where(upd, pc_new, pc)
+        pc = jnp.where(diverged, jnp.zeros_like(pc), pc)
+        conv = jnp.where(upd, pc_new, conv)
+        bad = bad | diverged
+        return (x, r, p, rz, _z, it_new, deff, deff_old, pc, conv, iters,
+                x_best, best, bad)
+
+    r0, z0, rz0 = fresh(x_p)
+    scal = lambda v: jnp.full((bsz,), v, dtype)
+    init = (x_p, r0, z0, rz0, jnp.zeros((), dtype), jnp.asarray(0, jnp.int32),
+            scal(1.0), scal(5.0), scal(100.0), scal(100.0),
+            jnp.zeros((bsz,), jnp.int32), x_p, mean_abs(r0),
+            jnp.zeros((bsz,), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
+     bad) = out
+    x_out = jnp.where(expand(bad), x_best, x)
+    deff_out = deff_fn(x_out)
+    if criterion == "relresidual":
+        conv = jnp.where(bad, best / bscale, conv)
+    elif criterion != "deff":
+        conv = jnp.where(bad, best, conv)
+    return SolveResult(x=unpad(x_out), deff=deff_out, conv=conv, iters=iters)
+
+
 def _pcg3(coeffs, spec, x0, precond, batched, *, tol, max_iter, check_every, criterion):
     return run_pcg(
         matvec=lambda p: fvm3d.apply_operator_3d(coeffs, p),
@@ -298,40 +464,75 @@ def solve_cg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e
                  criterion=criterion)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
-                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
-)
-def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
-                  max_iter: int = 10_000, check_every: int = 0,
-                  criterion: str = "residual", nu1: int = 1, nu2: int = 1,
-                  mg_omega: float = 0.8, coarse_iters: int = 32,
-                  min_size: int = 4, over: float = 1.8) -> SolveResult:
+def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
+                batched, nu1, nu2, mg_omega, coarse_iters, min_size, over,
+                use_pallas=None, pallas_interpret=False):
+    if use_pallas is None:
+        use_pallas = _pallas_auto_3d(coeffs, nu1, nu2)
+
+    if use_pallas == "tiled3d":
+        hier_coeffs = coeffs if batched else jax.tree.map(
+            lambda a: a[None], coeffs)
+        hier_spec = spec if batched else jax.tree.map(
+            lambda a: jnp.asarray(a)[None], spec)
+        res = _run_mgcg3d_fused(
+            hier_coeffs, hier_spec, x0 if batched else x0[None],
+            tol=tol, max_iter=max_iter, check_every=check_every,
+            criterion=criterion, nu=nu1, mg_omega=mg_omega,
+            coarse_iters=coarse_iters, min_size=min_size, over=over,
+            interpret=pallas_interpret)
+        if not batched:
+            res = jax.tree.map(lambda a: a[0], res)
+        return res
+
     levels = build_hierarchy_3d(coeffs, min_size=min_size)
     precond = lambda r: v_cycle_3d(levels, r, nu1=nu1, nu2=nu2, omega=mg_omega,
                                    coarse_iters=coarse_iters, over=over)
-    return _pcg3(coeffs, spec, x0, precond, False,
-                 tol=tol, max_iter=max_iter,
-                 check_every=driver.resolve_check_every(check_every, 10),
+    return _pcg3(coeffs, spec, x0, precond, batched,
+                 tol=tol, max_iter=max_iter, check_every=check_every,
                  criterion=criterion)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
-                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over"),
+                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size",
+                     "over", "use_pallas", "pallas_interpret"),
+)
+def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
+                  max_iter: int = 10_000, check_every: int = 0,
+                  criterion: str = "residual", nu1: int = 1, nu2: int = 1,
+                  mg_omega: float = 0.8, coarse_iters: int = 32,
+                  min_size: int = 4, over: float = 1.8,
+                  use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
+    """3D multigrid-PCG.  ``use_pallas``: None = auto (the banded fused
+    whole-CG-iteration engine on TPU fp32 V(nu, nu) — ops/kernels/
+    cgstep3d.py); False forces the XLA path; "tiled3d" forces the fused
+    engine (CPU tests pass pallas_interpret=True)."""
+    return _mgcg3_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
+                       check_every=driver.resolve_check_every(check_every, 10),
+                       criterion=criterion, batched=False, nu1=nu1, nu2=nu2,
+                       mg_omega=mg_omega, coarse_iters=coarse_iters,
+                       min_size=min_size, over=over, use_pallas=use_pallas,
+                       pallas_interpret=pallas_interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
+                     "nu1", "nu2", "mg_omega", "coarse_iters", "min_size",
+                     "over", "use_pallas", "pallas_interpret"),
 )
 def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
                           tol: float = 1e-8, max_iter: int = 10_000,
                           check_every: int = 0, criterion: str = "residual",
                           nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
                           coarse_iters: int = 32, min_size: int = 4,
-                          over: float = 1.8) -> SolveResult:
-    levels = build_hierarchy_3d(coeffs, min_size=min_size)
-    precond = lambda r: v_cycle_3d(levels, r, nu1=nu1, nu2=nu2, omega=mg_omega,
-                                   coarse_iters=coarse_iters, over=over)
-    return _pcg3(coeffs, spec, x0, precond, True,
-                 tol=tol, max_iter=max_iter,
-                 check_every=driver.resolve_check_every(check_every, 10),
-                 criterion=criterion)
+                          over: float = 1.8,
+                          use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
+    return _mgcg3_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
+                       check_every=driver.resolve_check_every(check_every, 10),
+                       criterion=criterion, batched=True, nu1=nu1, nu2=nu2,
+                       mg_omega=mg_omega, coarse_iters=coarse_iters,
+                       min_size=min_size, over=over, use_pallas=use_pallas,
+                       pallas_interpret=pallas_interpret)

@@ -318,6 +318,33 @@ class TestTPUSmoke:
         np.testing.assert_allclose(np.asarray(grz[:, 0]), np.asarray(rzc),
                                    rtol=1e-3)
 
+    def test_vcycle3d_kernels_compiled(self):
+        # 3D whole-VMEM + banded cycles (ops/kernels/vcycle3d.py) vs the
+        # XLA 3D cycle on a real chip (round-3: the 3D fusion ladder)
+        from effectivediffusivityfvm_tpu.ops import fvm3d
+        from effectivediffusivityfvm_tpu.ops.kernels.vcycle3d import (
+            v_cycle3d_pallas, v_cycle3d_tiled)
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import (
+            build_hierarchy_3d, v_cycle_3d)
+
+        rng = np.random.default_rng(5)
+        n = 64
+        d = jnp.asarray(
+            np.where(rng.random((1, n, n, n)) < 0.6, 1.0, 1e-3), jnp.float32)
+        c = jax.vmap(fvm3d.fvm_coefficients_3d, in_axes=(0, None, None))(
+            d, 0.0, 1.0)
+        lv = build_hierarchy_3d(c, min_size=4, pad_levels=True)
+        r = jnp.asarray(rng.standard_normal((1, n, n, n)), jnp.float32)
+        z_ref = np.asarray(v_cycle_3d(lv, r, nu1=2, nu2=2, omega=0.8,
+                                      coarse_iters=8, over=1.8))
+        scale = np.max(np.abs(z_ref))
+        z = np.asarray(v_cycle3d_pallas(lv, r, omega=0.8, nu=2,
+                                        coarse_iters=8, over=1.8))
+        np.testing.assert_allclose(z, z_ref, atol=1e-4 * scale)
+        zt = np.asarray(v_cycle3d_tiled(lv, r, omega=0.8, nu=2,
+                                        coarse_iters=8, over=1.8, band=16))
+        np.testing.assert_allclose(zt, z_ref, atol=1e-4 * scale)
+
 
 class TestFusedCGStep:
     """Whole-CG-iteration fused kernel (ops/kernels/cgstep_vmem.py) vs the
