@@ -36,7 +36,8 @@ def main(n: int = 256):
     spec = fvm3d.make_flux_spec_3d(d, 0.0, 1.0)
     x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32) / n, (n, n, n))
 
-    kw = dict(tol=1e-6, max_iter=2000, check_every=10, criterion="residual")
+    kw = dict(tol=1e-4, max_iter=2000, check_every=10, criterion="relresidual",
+              nu1=2, nu2=2, coarse_iters=8, min_size=8)
     t0 = time.perf_counter()
     res = solve_mgcg_3d(coeffs, spec, x0, **kw)
     deff = float(np.asarray(res.deff))
@@ -50,7 +51,7 @@ def main(n: int = 256):
     print(f"256^3 MGCG: warm {warm:.1f}s, steady {t:.2f}s, "
           f"iters {int(res.iters)}, resid {float(res.conv):.2e}, deff {deff:.4f}",
           file=sys.stderr)
-    print({"metric": f"Deff solve seconds ({n}^3 voxels, mgcg fp32, 1e-6 residual)",
+    print({"metric": f"Deff solve seconds ({n}^3 voxels, mgcg fp32, 1e-4 relresidual)",
            "value": round(t, 3), "iters": int(res.iters), "deff": round(deff, 5)})
 
 

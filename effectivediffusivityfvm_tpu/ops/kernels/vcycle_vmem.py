@@ -55,17 +55,52 @@ from ..fvm import StencilCoeffs
 
 __all__ = ["v_cycle_pallas", "vcycle_fits_vmem"]
 
-# MXU precision for the in-kernel restriction/prolongation matmuls.
-# HIGHEST (6-pass bf16) is required for fidelity: plain bf16 (DEFAULT)
-# rounds the residual operand and measurably degrades the preconditioner
-# (doubled tail iteration counts — round-2 sweep).  Mosaic does NOT lower
-# Precision.HIGH (probed: "Unsupported dot precision: HIGH"), so the only
-# cheaper option would be a manual 3-way bf16 split.  Env override for
-# experiments only.
-_MM_PREC = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("DEFF_MM_PREC", "highest")]
+# MXU precision for the in-kernel restriction/prolongation matmuls.  One
+# operand is always a 0/1 selection matrix (exact in bf16), so full
+# HIGHEST (6-pass bf16x6 on BOTH operands) over-pays: splitting only the
+# data operand into k bf16 terms and accumulating k DEFAULT-precision MXU
+# passes (the MXU multiplies bf16 exactly and accumulates in f32) gives
+# bf16xk fidelity on the data at k passes — k=3 is f32-equivalent, k=2
+# keeps ~16 mantissa bits.  Plain DEFAULT (k=1, 8-bit mantissa) measurably
+# degrades the preconditioner (doubled tail iteration counts — round-2
+# sweep); Mosaic does not lower Precision.HIGH.  Modes via DEFF_MM_PREC:
+# highest | split3 | split2 | default.
+_MM_MODE = os.environ.get("DEFF_MM_PREC", "highest")
+_MM_PREC = (jax.lax.Precision.DEFAULT if _MM_MODE == "default"
+            else jax.lax.Precision.HIGHEST)
+
+
+def _bf16_terms(x, k):
+    """Decompose x (f32) into k terms whose first k-1 are exactly
+    bf16-representable; summing the exact products reconstructs the
+    bf16xk product."""
+    terms = []
+    rem = x
+    for _ in range(k - 1):
+        t = rem.astype(jnp.bfloat16).astype(x.dtype)
+        terms.append(t)
+        rem = rem - t
+    terms.append(rem)
+    return terms
+
+
+def _dg(a, b, dims, split):
+    """dot_general where the operand NOT named by ``split`` ("a"/"b") is a
+    0/1 selection matrix: honors _MM_MODE (split modes only for f32 — f64
+    runs, i.e. interpret-mode tests, keep the exact single dot)."""
+    dtype = a.dtype
+    if not _MM_MODE.startswith("split") or dtype != jnp.float32:
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=dtype,
+                                   precision=_MM_PREC)
+    k = int(_MM_MODE[-1])
+    xs = _bf16_terms(a if split == "a" else b, k)
+    out = None
+    for t in xs:
+        aa, bb = (t, b) if split == "a" else (a, t)
+        p = jax.lax.dot_general(aa, bb, dims, preferred_element_type=dtype,
+                                precision=jax.lax.Precision.DEFAULT)
+        out = p if out is None else out + p
+    return out
 
 
 def x32_kernel(fn):
@@ -157,11 +192,8 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
         nyc, nxc = shapes[l + 1]
         ry = _sel(nyc, res.shape[0], res.dtype)
         rx = _sel(nxc, res.shape[1], res.dtype)
-        t = jnp.dot(ry, res, preferred_element_type=res.dtype,
-                    precision=_MM_PREC)
-        rs.append(jax.lax.dot_general(
-            t, rx, (((1,), (1,)), ((), ())), preferred_element_type=res.dtype,
-            precision=_MM_PREC))
+        t = _dg(ry, res, (((1,), (0,)), ((), ())), split="b")
+        rs.append(_dg(t, rx, (((1,), (1,)), ((), ())), split="a"))
 
     lc = n_levels - 1
     e = jnp.zeros(shapes[lc], rs[lc].dtype)
@@ -172,11 +204,8 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
         nyc, nxc = e.shape
         ry = _sel(nyc, ny, e.dtype)
         rx = _sel(nxc, nx, e.dtype)
-        t = jax.lax.dot_general(
-            ry, e, (((0,), (0,)), ((), ())), preferred_element_type=e.dtype,
-            precision=_MM_PREC)
-        ep = jnp.dot(t, rx, preferred_element_type=e.dtype,
-                     precision=_MM_PREC)
+        t = _dg(ry, e, (((0,), (0,)), ((), ())), split="b")
+        ep = _dg(t, rx, (((1,), (0,)), ((), ())), split="a")
         e = es[l] + over * ep
         for _ in range(nu):
             e = smooth(l, e, rs[l])

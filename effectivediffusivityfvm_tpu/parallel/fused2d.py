@@ -1,0 +1,239 @@
+"""Sharded + fused composition: per-shard Pallas T1/T2 V-cycle kernels
+under shard_map with ppermute'd halo strips.
+
+The row-sharded MGCG (parallel/halo.py) previously ran its V-cycle as XLA
+sweeps with a 1-row halo exchange per sweep.  The banded-kernel insight
+(ops/kernels/vcycle_tiled.py) maps 1:1 onto spatial shards: a shard IS a
+band, so exchanging a HALO-row strip ONCE per level lets the whole
+pre-smooth + residual + restriction (T1) and prolongation + add +
+post-smooth (T2) run as single Pallas kernels on the local block, exact on
+the shard interior by the same window-validity invariant — nu sweeps + the
+residual invalidate nu+1 window-edge rows < HALO = 8.  Communication per
+cycle level drops from 2*nu+2 one-row ppermutes to three HALO-row
+ppermutes (r; e_pre + coarse correction), and the smoothing arithmetic
+moves from HBM-streaming XLA ops to VMEM-resident VPU work.
+
+Alignment note: shard-local fine row j of the window (which starts HALO
+rows above the local block) maps to coarse window index j // 2 exactly,
+because HALO is even and every shard starts on an even global row — so the
+prolongation selection operator needs no runtime offset (unlike the banded
+kernel's g*H - h form).
+
+Levels too small for a HALO strip (local ny < HALO) or too large for a
+whole-local-block VMEM window fall back to the XLA sharded cycle from that
+level down; the replicated coarse tail is shared with the XLA path.
+
+Reference analog: the hot kernel updateX_SOR (Deff2D.cuh:69-92) x
+SURVEY §2.6's SP row; the reference itself is single-GPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import fvm
+from ..ops.kernels.vcycle_vmem import _MM_PREC, _diag_of, _nbsum, _sel
+from ..ops.kernels.vcycle_tiled import HALO, _smooth_w
+
+__all__ = ["v_cycle_sharded_fused", "fused_shard_level_ok"]
+
+
+def fused_shard_level_ok(ny_local: int, nx: int, itemsize: int = 4) -> bool:
+    """Whether a sharded level can run the whole-local-block fused T1/T2
+    kernels: a HALO strip must exist and ~16 window fields must fit VMEM."""
+    if ny_local < HALO or ny_local % 2 or nx % 2:
+        return False
+    return 16 * (ny_local + 2 * HALO) * nx * itemsize < 100 * 1024 * 1024
+
+
+def _halo_strips(x, axis_name: str, h: int):
+    """Exchange h-row halo strips along ``axis_name`` (zeros at edges)."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        z = jnp.zeros_like(x[..., :h, :])
+        return z, z
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    north = jax.lax.ppermute(x[..., -h:, :], axis_name, down)
+    south = jax.lax.ppermute(x[..., :h, :], axis_name, up)
+    return north, south
+
+
+def _win2(n_ref, b_ref, s_ref):
+    return jnp.concatenate([n_ref[0], b_ref[0], s_ref[0]], axis=0)
+
+
+def _t1s_kernel(rb, rn, rs, awb, awn, aws, anb, ann, ans, dib, din, dis,
+                e_ref, rc_ref, *, H, omega, nu):
+    """Pre-smooth + residual + restriction on one shard's whole block."""
+    h = HALO
+    rw = _win2(rn, rb, rs)
+    aww = _win2(awn, awb, aws)
+    anw = _win2(ann, anb, ans)
+    diw = _win2(din, dib, dis)
+    dgw = _diag_of(diw)
+
+    e = omega * diw * rw
+    for _ in range(nu - 1):
+        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    res = rw - (dgw * e - _nbsum(aww, anw, e))
+
+    e_ref[0] = e[h:h + H]
+    resb = res[h:h + H]
+    ry = _sel(H // 2, H, res.dtype)
+    rx = _sel(resb.shape[1] // 2, resb.shape[1], res.dtype)
+    t = jnp.dot(ry, resb, preferred_element_type=res.dtype,
+                precision=_MM_PREC)
+    rc_ref[0] = jax.lax.dot_general(
+        t, rx, (((1,), (1,)), ((), ())), preferred_element_type=res.dtype,
+        precision=_MM_PREC)
+
+
+def _t2s_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
+                dib, din, dis, ecb, ecn, ecs, z_ref, *, H, omega, nu, over):
+    """Prolong + add + post-smooth on one shard's whole block.  The coarse
+    correction arrives as its own windowed strip (HALO//2-row halos): fine
+    window row j maps to coarse window row j // 2 (see module docstring)."""
+    h = HALO
+    ew = _win2(en, eb, es_)
+    rw = _win2(rn, rb, rs)
+    aww = _win2(awn, awb, aws)
+    anw = _win2(ann, anb, ans)
+    diw = _win2(din, dib, dis)
+
+    ec = jnp.concatenate([ecn[0], ecb[0], ecs[0]], axis=0)  # (wy//2, nxc)
+    wy = H + 2 * h
+    nxc = ec.shape[1]
+    ry = _sel(ec.shape[0], wy, ec.dtype)        # S[I, i] = [i//2 == I]
+    t = jax.lax.dot_general(
+        ry, ec, (((0,), (0,)), ((), ())), preferred_element_type=ec.dtype,
+        precision=_MM_PREC)                     # (wy, nxc)
+    nx = ew.shape[1]
+    px = _sel(nxc, nx, ec.dtype)
+    ecw = jnp.dot(t, px, preferred_element_type=ec.dtype,
+                  precision=_MM_PREC)           # (wy, nx)
+
+    e = ew + over * ecw
+    for _ in range(nu):
+        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    z_ref[0] = e[h:h + H]
+
+
+def _spec(rows, nx):
+    return pl.BlockSpec((1, rows, nx), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _coef_windows(sharded_levels, axis_name):
+    """Per-level (aw, an, dinv) bodies + ppermuted halo strips, exchanged
+    once per solve (coefficients are loop-invariant)."""
+    out = []
+    for c in sharded_levels:
+        planes = []
+        for p in (c.a_w, c.a_n, c.diag_inv):
+            n, s = _halo_strips(p, axis_name, HALO)
+            planes.extend([p, n, s])
+        out.append(planes)
+    return out
+
+
+def v_cycle_sharded_fused(sharded_levels, replicated_levels, coef_wins, r, *,
+                          nu, omega, coarse_iters, over, axis_name,
+                          level=0, interpret=False):
+    """Fused sharded V(nu, nu) cycle: per-shard whole-block Pallas T1/T2
+    with HALO-strip ppermutes; XLA fallback (parallel/halo.py) for levels
+    that fail :func:`fused_shard_level_ok`; replicated tail shared with the
+    XLA path.  ``r`` is (..., ny_local, nx) — batch dims normalized here.
+
+    The top-level call traces under ``jax.enable_x64(False)`` when the
+    operands are f32 (the x32_kernel guard, see vcycle_vmem.py): Mosaic
+    cannot lower the weak-i64 literals an x64-enabled trace bakes into
+    kernel bodies and BlockSpec index maps."""
+    if level == 0 and r.dtype == jnp.float32:
+        with jax.enable_x64(False):
+            return _v_cycle_sharded_fused_impl(
+                sharded_levels, replicated_levels, coef_wins, r, nu=nu,
+                omega=omega, coarse_iters=coarse_iters, over=over,
+                axis_name=axis_name, level=level, interpret=interpret)
+    return _v_cycle_sharded_fused_impl(
+        sharded_levels, replicated_levels, coef_wins, r, nu=nu, omega=omega,
+        coarse_iters=coarse_iters, over=over, axis_name=axis_name,
+        level=level, interpret=interpret)
+
+
+def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
+                                r, *, nu, omega, coarse_iters, over,
+                                axis_name, level, interpret):
+    from .halo import _v_cycle_sharded_2d
+
+    if level == len(sharded_levels):
+        r_full = jax.lax.all_gather(r, axis_name, axis=r.ndim - 2, tiled=True)
+        from ..solvers import multigrid as mg
+
+        e_full = mg.v_cycle(replicated_levels, r_full, nu1=nu, nu2=nu,
+                            omega=omega, coarse_iters=coarse_iters, over=over)
+        idx = jax.lax.axis_index(axis_name)
+        ny_local = r.shape[-2]
+        return jax.lax.dynamic_slice_in_dim(
+            e_full, idx * ny_local, ny_local, axis=e_full.ndim - 2)
+
+    ny_l, nx_l = r.shape[-2], r.shape[-1]
+    if not fused_shard_level_ok(ny_l, nx_l, r.dtype.itemsize):
+        return _v_cycle_sharded_2d(
+            sharded_levels, replicated_levels, r, nu1=nu, nu2=nu,
+            omega=omega, coarse_iters=coarse_iters, over=over,
+            axis_name=axis_name, level=level)
+
+    batched = r.ndim == 3
+    rb = r if batched else r[None]
+    bsz = rb.shape[0]
+    coefs = [p if batched else p[None] for p in coef_wins[level]]
+
+    rn, rs = _halo_strips(rb, axis_name, HALO)
+    body, halo = _spec(ny_l, nx_l), _spec(HALO, nx_l)
+    cspec = [body, halo, halo]
+    win_bytes = (ny_l + 2 * HALO) * nx_l * r.dtype.itemsize
+    params = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(40 * win_bytes), 112 << 20))}
+
+    t1 = functools.partial(_t1s_kernel, H=ny_l, omega=omega, nu=nu)
+    e_pre, rc = pl.pallas_call(
+        t1,
+        grid=(bsz,),
+        in_specs=cspec * 4,
+        out_shape=[jax.ShapeDtypeStruct((bsz, ny_l, nx_l), r.dtype),
+                   jax.ShapeDtypeStruct((bsz, ny_l // 2, nx_l // 2),
+                                        r.dtype)],
+        out_specs=[body, _spec(ny_l // 2, nx_l // 2)],
+        interpret=interpret,
+        **params,
+    )(rb, rn, rs, *coefs)
+
+    rc_r = rc if batched else rc[0]
+    e_c = _v_cycle_sharded_fused_impl(
+        sharded_levels, replicated_levels, coef_wins, rc_r, nu=nu,
+        omega=omega, coarse_iters=coarse_iters, over=over,
+        axis_name=axis_name, level=level + 1, interpret=interpret)
+    ecb = e_c if batched else e_c[None]
+    ecn, ecs = _halo_strips(ecb, axis_name, HALO // 2)
+
+    en, es_ = _halo_strips(e_pre, axis_name, HALO)
+    t2 = functools.partial(_t2s_kernel, H=ny_l, omega=omega, nu=nu,
+                           over=over)
+    hc = _spec(HALO // 2, nx_l // 2)
+    z = pl.pallas_call(
+        t2,
+        grid=(bsz,),
+        in_specs=cspec * 5 + [_spec(ny_l // 2, nx_l // 2), hc, hc],
+        out_shape=jax.ShapeDtypeStruct((bsz, ny_l, nx_l), r.dtype),
+        out_specs=body,
+        interpret=interpret,
+        **params,
+    )(e_pre, en, es_, rb, rn, rs, *coefs, ecb, ecn, ecs)
+    return z if batched else z[0]

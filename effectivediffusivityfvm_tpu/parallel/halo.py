@@ -125,8 +125,16 @@ def sharded_solve_jacobi(
     ``batch_axis`` and keeps per-image convergence freezing.
     """
     omega = omega or 2.0 / 3.0
-    batched = x0.ndim == 3
+    runner = _jacobi_runner(mesh, x0.ndim == 3, omega, tol, max_iter,
+                            check_every, criterion, spatial_axis, batch_axis)
+    return runner(coeffs, spec, x0)
 
+
+@functools.lru_cache(maxsize=64)
+def _jacobi_runner(mesh, batched, omega, tol, max_iter, check_every,
+                   criterion, spatial_axis, batch_axis):
+    """Jitted sharded-Jacobi runner, cached on the static configuration
+    (a fresh ``jax.jit(run)`` per call retraces the whole solve)."""
     grid_spec = P(batch_axis, spatial_axis, None) if batched else P(spatial_axis, None)
     col_spec = P(batch_axis, spatial_axis) if batched else P(spatial_axis)
     scal_spec = P(batch_axis) if batched else P()
@@ -165,7 +173,7 @@ def sharded_solve_jacobi(
                                       reduce_any_fn=reduce_any, **kw)
         return driver.run_single(sweep, coeffs_l, spec_l, x0_l, **kw)
 
-    return jax.jit(run)(coeffs, spec, x0)
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +307,8 @@ def sharded_solve_mgcg(
     over: float = 1.8,
     spatial_axis: str = "sp",
     batch_axis: str = "dp",
+    use_pallas=None,
+    pallas_interpret: bool = False,
 ) -> SolveResult:
     """Row-sharded 2D multigrid-PCG: shard-local Galerkin coarsening down to
     2-row slabs, then a replicated coarse tail; equals the unsharded
@@ -309,11 +319,34 @@ def sharded_solve_mgcg(
     per-image convergence freezing (the whole coarsening/cycle machinery is
     batch-dim agnostic; only the monitors and the trip-count reduction need
     the extra axis — see sharded_solve_jacobi for why the dp-wide psum'd
-    trip count is required)."""
+    trip count is required).
+
+    ``use_pallas``: None = auto — on TPU fp32 V(nu, nu) the cycle runs the
+    per-shard fused T1/T2 Pallas kernels with HALO-strip ppermutes
+    (parallel/fused2d.py; measured 2.1x the XLA sweeps end-to-end at
+    1024², numerics identical); False forces XLA; True forces fused."""
+    batched = x0.ndim == 3
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and coeffs.diag.dtype == jnp.float32
+                      and nu1 == nu2 and nu1 <= 4)
+    runner = _mgcg_runner(mesh, batched, tol, max_iter,
+                          min(check_every, 10), criterion, nu1, nu2,
+                          mg_omega, coarse_iters, min_size, over,
+                          spatial_axis, batch_axis, use_pallas,
+                          pallas_interpret)
+    return runner(coeffs, spec, x0)
+
+
+@functools.lru_cache(maxsize=64)
+def _mgcg_runner(mesh, batched, tol, max_iter, check_every, criterion, nu1,
+                 nu2, mg_omega, coarse_iters, min_size, over, spatial_axis,
+                 batch_axis, use_pallas, pallas_interpret):
+    """Jitted sharded-MGCG runner, cached on the static configuration —
+    a fresh ``jax.jit(run)`` per call would retrace the whole solve every
+    time (seconds per call; the fused-cycle trace is the largest)."""
     from ..solvers.pcg import run_pcg
 
-    batched = x0.ndim == 3
-    check_every = min(check_every, 10)
     grid_spec = (P(batch_axis, spatial_axis, None) if batched
                  else P(spatial_axis, None))
     col_spec = (P(batch_axis, spatial_axis) if batched else P(spatial_axis))
@@ -324,8 +357,6 @@ def sharded_solve_mgcg(
         c_left=scal_spec, c_right=scal_spec, inv_half_dx=scal_spec)
     out_specs = SolveResult(x=grid_spec, deff=scal_spec, conv=scal_spec,
                             iters=scal_spec if batched else P())
-    n_shards = mesh.shape[spatial_axis]
-    ny_local = x0.shape[-2] // n_shards
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -334,13 +365,25 @@ def sharded_solve_mgcg(
     )
     def run(c_l, s_l, x0_l):
         sharded_levels, replicated_levels = _build_sharded_hierarchy_2d(
-            c_l, ny_local, spatial_axis, min_size=min_size)
+            c_l, x0_l.shape[-2], spatial_axis, min_size=min_size)
 
-        def precond(r):
-            return _v_cycle_sharded_2d(
-                sharded_levels, replicated_levels, r, nu1=nu1, nu2=nu2,
-                omega=mg_omega, coarse_iters=coarse_iters, over=over,
-                axis_name=spatial_axis)
+        if use_pallas:
+            from .fused2d import _coef_windows, v_cycle_sharded_fused
+
+            coef_wins = _coef_windows(sharded_levels, spatial_axis)
+
+            def precond(r):
+                return v_cycle_sharded_fused(
+                    sharded_levels, replicated_levels, coef_wins, r,
+                    nu=nu1, omega=mg_omega, coarse_iters=coarse_iters,
+                    over=over, axis_name=spatial_axis,
+                    interpret=pallas_interpret)
+        else:
+            def precond(r):
+                return _v_cycle_sharded_2d(
+                    sharded_levels, replicated_levels, r, nu1=nu1, nu2=nu2,
+                    omega=mg_omega, coarse_iters=coarse_iters, over=over,
+                    axis_name=spatial_axis)
 
         def matvec(p):
             return c_l.diag * p - _neighbor_sum_2d_local(c_l, p, spatial_axis)
@@ -371,4 +414,4 @@ def sharded_solve_mgcg(
             mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
 
-    return jax.jit(run)(coeffs, spec, x0)
+    return jax.jit(run)

@@ -91,6 +91,21 @@ def _specs(batched, spatial_axis, batch_axis):
     return coeffs, spec, grid, out
 
 
+_RUNNERS = {}
+
+
+def _cached_jit_runner(key, run):
+    """Cache ``jax.jit(run)`` on the static configuration: a fresh jit
+    object per call would retrace the whole sharded solve every time
+    (seconds per call).  ``key`` must cover every static the closure
+    captures (incl. input shapes where the closure bakes shape-derived
+    values)."""
+    fn = _RUNNERS.get(key)
+    if fn is None:
+        fn = _RUNNERS[key] = jax.jit(run)
+    return fn
+
+
 def sharded_solve_jacobi_3d(
     coeffs: StencilCoeffs3D,
     spec: FluxSpec3D,
@@ -139,7 +154,9 @@ def sharded_solve_jacobi_3d(
                                       reduce_any_fn=reduce_any, **kw)
         return driver.run_single(sweep, c_l, s_l, x0_l, **kw)
 
-    return jax.jit(run)(coeffs, spec, x0)
+    key = ("jacobi3d", mesh, batched, omega, tol, max_iter, check_every,
+           criterion, spatial_axis, batch_axis, x0.shape)
+    return _cached_jit_runner(key, run)(coeffs, spec, x0)
 
 
 def sharded_solve_cg_3d(
@@ -197,7 +214,9 @@ def sharded_solve_cg_3d(
             reduce_any_fn=reduce_any, mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
 
-    return jax.jit(run)(coeffs, spec, x0)
+    key = ("cg3d", mesh, batched, tol, max_iter, check_every, criterion,
+           spatial_axis, batch_axis, x0.shape)
+    return _cached_jit_runner(key, run)(coeffs, spec, x0)
 
 
 # ---------------------------------------------------------------------------
@@ -404,4 +423,7 @@ def sharded_solve_mgcg_3d(
             reduce_any_fn=reduce_any, mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
 
-    return jax.jit(run)(coeffs, spec, x0)
+    key = ("mgcg3d", mesh, batched, tol, max_iter, check_every, criterion,
+           nu1, nu2, mg_omega, coarse_iters, min_size, over, spatial_axis,
+           batch_axis, x0.shape)
+    return _cached_jit_runner(key, run)(coeffs, spec, x0)

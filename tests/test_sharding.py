@@ -189,6 +189,33 @@ def test_sharded_mgcg_2d_equals_unsharded(rng):
                                rtol=1e-7, atol=1e-10)
 
 
+def test_sharded_mgcg_2d_fused_cycle(rng):
+    """Per-shard fused T1/T2 Pallas cycle (parallel/fused2d.py, interpret
+    mode) vs the XLA sharded cycle: same solve, agreeing Deff/conv.  At
+    ny_local = 16 the fine level runs fused and the deeper levels take the
+    XLA fallback (ny_local < HALO), covering the mixed path."""
+    from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+    from effectivediffusivityfvm_tpu.parallel.halo import sharded_solve_mgcg
+
+    ny, nx = 64, 32
+    d = np.exp(rng.uniform(0, np.log(1e3), (ny, nx))).astype(np.float32)
+    dj = jnp.asarray(d, jnp.float32)
+    c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+    spec = make_flux_spec(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float32) / nx, (ny, nx))
+    mesh = make_mesh(4, dp=1)
+    # tol above the fp32 relres floor (~1e-6 at this contrast/size: all
+    # engines — fused, XLA-sharded, meshless — stall there identically)
+    kw = dict(tol=1e-5, max_iter=400, check_every=10,
+              criterion="relresidual", nu1=2, nu2=2)
+    ref = sharded_solve_mgcg(c, spec, x0, mesh, use_pallas=False, **kw)
+    got = sharded_solve_mgcg(c, spec, x0, mesh, use_pallas=True,
+                             pallas_interpret=True, **kw)
+    assert float(got.conv) <= 1e-5
+    np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-4)
+    assert abs(int(got.iters) - int(ref.iters)) <= 10
+
+
 def test_sharded_mgcg_2d_batched_dp_sp(rng):
     # batched sharded 2D MGCG (VERDICT r2 missing #5): dp=2 batch shards
     # x sp=4 row shards with per-image freezing.
