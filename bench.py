@@ -140,9 +140,12 @@ def main():
     # benchmarks/bench_tail_sweep.py).  Larger check_every LOSES despite
     # the early exit: the true-residual refresh doubles as a CG restart
     # that keeps fp32 recurrence drift in check (14..31 -> 14..70 iters at
-    # check_every=60).
+    # check_every=60).  -> ~830: split-k bf16 restrict/prolong matmuls
+    # (vcycle_vmem._dg, f32-parity at half of HIGHEST's MXU passes;
+    # identical iteration counts) — with cheap matmuls V(2,2) re-takes
+    # V(3,3) (832 vs 792 in the split sweep).
     kw = dict(tol=TOL, max_iter=3_000, check_every=20, criterion="residual",
-              min_size=8, coarse_iters=8, nu1=3, nu2=3, over=1.8)
+              min_size=8, coarse_iters=8, nu1=2, nu2=2, over=1.8)
 
     # warmup: compile + one full solve
     t0 = time.perf_counter()

@@ -37,7 +37,7 @@ def main(n: int = 256):
     x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32) / n, (n, n, n))
 
     kw = dict(tol=1e-4, max_iter=2000, check_every=10, criterion="relresidual",
-              nu1=2, nu2=2, coarse_iters=8, min_size=8)
+              nu1=2, nu2=2, coarse_iters=8)
     t0 = time.perf_counter()
     res = solve_mgcg_3d(coeffs, spec, x0, **kw)
     deff = float(np.asarray(res.deff))

@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
-from .vcycle_vmem import _MM_PREC, _diag_of, _nbsum, _sel, x32_kernel
+from .vcycle_vmem import _dg, _diag_of, _nbsum, _sel, x32_kernel
 from .vcycle_tiled import (HALO, _band_specs, _banded, _smooth_w, _win,
                            coarse_tail)
 
@@ -121,12 +121,8 @@ def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         resb = res[h:h + H]
         ry = _sel(H // 2, H, res.dtype)
         rx = _sel(resb.shape[1] // 2, resb.shape[1], res.dtype)
-        t = jnp.dot(ry, resb, preferred_element_type=res.dtype,
-                    precision=_MM_PREC)
-        rc_out[0, 0] = jax.lax.dot_general(
-            t, rx, (((1,), (1,)), ((), ())),
-            preferred_element_type=res.dtype,
-            precision=_MM_PREC)
+        t = _dg(ry, resb, (((1,), (0,)), ((), ())), split="b")
+        rc_out[0, 0] = _dg(t, rx, (((1,), (1,)), ((), ())), split="a")
 
     @pl.when(live_ref[b, 0] <= 0)
     def _skip():
@@ -163,16 +159,12 @@ def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
         cols = jax.lax.broadcasted_iota(jnp.int32, (wy, nyc), 1)
         sy = jnp.where(rows >= 0, rows // 2, -1)
         sel_y = (sy == cols).astype(ec.dtype)
-        t = jnp.dot(sel_y, ec, preferred_element_type=ec.dtype,
-                    precision=_MM_PREC)
+        t = _dg(sel_y, ec, (((1,), (0,)), ((), ())), split="b")
         nx = ew.shape[1]
         fcols = jax.lax.broadcasted_iota(jnp.int32, (nx, nxc), 0) // 2
         ccols = jax.lax.broadcasted_iota(jnp.int32, (nx, nxc), 1)
         sel_x = (fcols == ccols).astype(ec.dtype)
-        ecw = jax.lax.dot_general(
-            t, sel_x, (((1,), (1,)), ((), ())),
-            preferred_element_type=ec.dtype,
-            precision=_MM_PREC)
+        ecw = _dg(t, sel_x, (((1,), (1,)), ((), ())), split="a")
 
         e = ew + over * ecw
         for _ in range(nu):

@@ -23,9 +23,8 @@ Mosaic 3D notes (all probed on this chip):
     (z-restriction), broadcast-interleave (z-prolongation), and static
     slicing all compile; the banding halo needs no alignment quantum.
   * y/x restriction/prolongation are batched MXU matmuls against 0/1
-    selection operators (broadcast over z), Precision.HIGHEST — same
-    fidelity argument as the 2D kernels (vcycle_vmem.py docstring);
-    Mosaic does not lower Precision.HIGH.
+    selection operators (broadcast over z) at the split-k bf16 precision
+    of vcycle_vmem._dg (f32-parity at half of HIGHEST's MXU passes).
 
 Semantics match solvers3d.v_cycle_3d with nu1 = nu2 = nu (verified in
 interpreter mode); levels must be stored pre-padded to even dims
@@ -47,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm3d import StencilCoeffs3D
-from .vcycle_vmem import _MM_PREC, _diag_of, _sel, x32_kernel
+from .vcycle_vmem import _dg, _diag_of, _sel, x32_kernel
 
 __all__ = [
     "HALO_Z", "v_cycle3d_pallas", "v_cycle3d_tiled", "vcycle3d_fits_vmem",
@@ -94,13 +93,10 @@ def _restrict3_yx(t, nyc, nxc):
     select nothing -> exact zeros)."""
     nz, ny, nx = t.shape
     ry = jnp.broadcast_to(_sel(nyc, ny, t.dtype), (nz, nyc, ny))
-    t = jax.lax.dot_general(ry, t, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=t.dtype,
-                            precision=_MM_PREC)            # (nz, nyc, nx)
+    t = _dg(ry, t, (((2,), (1,)), ((0,), (0,))), split="b")  # (nz, nyc, nx)
     rx = jnp.broadcast_to(_sel(nxc, nx, t.dtype), (nz, nxc, nx))
-    return jax.lax.dot_general(t, rx, (((2,), (2,)), ((0,), (0,))),
-                               preferred_element_type=t.dtype,
-                               precision=_MM_PREC)         # (nz, nyc, nxc)
+    return _dg(t, rx, (((2,), (2,)), ((0,), (0,))),
+               split="a")                                   # (nz, nyc, nxc)
 
 
 def _prolong3_yx(ec, ny, nx):
@@ -108,13 +104,10 @@ def _prolong3_yx(ec, ny, nx):
     (transposed selection matmuls)."""
     nzc, nyc, nxc = ec.shape
     py = jnp.broadcast_to(_sel(nyc, ny, ec.dtype), (nzc, nyc, ny))
-    t = jax.lax.dot_general(py, ec, (((1,), (1,)), ((0,), (0,))),
-                            preferred_element_type=ec.dtype,
-                            precision=_MM_PREC)            # (nzc, ny, nxc)
+    t = _dg(py, ec, (((1,), (1,)), ((0,), (0,))), split="b")  # (nzc, ny, nxc)
     px = jnp.broadcast_to(_sel(nxc, nx, ec.dtype), (nzc, nxc, nx))
-    return jax.lax.dot_general(t, px, (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=ec.dtype,
-                               precision=_MM_PREC)         # (nzc, ny, nx)
+    return _dg(t, px, (((2,), (1,)), ((0,), (0,))),
+               split="a")                                    # (nzc, ny, nx)
 
 
 def _restrict3(res, shape_c):

@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
-from .vcycle_vmem import (_MM_PREC, _diag_of, _nbsum, _sel, v_cycle_pallas,
+from .vcycle_vmem import (_dg, _diag_of, _nbsum, _sel, v_cycle_pallas,
                           vcycle_fits_vmem, x32_kernel)
 
 __all__ = ["v_cycle_tiled", "tiled_band", "tiled_pad_shape", "coarse_tail"]
@@ -113,11 +113,8 @@ def _pre_kernel(rb, rn, rs, awb, awn, aws, anb, ann, ans, dib, din, dis,
     resb = res[h:h + H]
     ry = _sel(H // 2, H, res.dtype)
     rx = _sel(resb.shape[1] // 2, resb.shape[1], res.dtype)
-    t = jnp.dot(ry, resb, preferred_element_type=res.dtype,
-                precision=_MM_PREC)
-    rc_ref[0, 0] = jax.lax.dot_general(
-        t, rx, (((1,), (1,)), ((), ())), preferred_element_type=res.dtype,
-        precision=_MM_PREC)
+    t = _dg(ry, resb, (((1,), (0,)), ((), ())), split="b")
+    rc_ref[0, 0] = _dg(t, rx, (((1,), (1,)), ((), ())), split="a")
 
 
 def _post_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
@@ -143,15 +140,12 @@ def _post_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     cols = jax.lax.broadcasted_iota(jnp.int32, (wy, nyc), 1)
     sy = jnp.where(rows >= 0, rows // 2, -1)
     sel_y = (sy == cols).astype(ec.dtype)
-    t = jnp.dot(sel_y, ec, preferred_element_type=ec.dtype,
-                precision=_MM_PREC)     # (wy, nxc)
+    t = _dg(sel_y, ec, (((1,), (0,)), ((), ())), split="b")   # (wy, nxc)
     nx = ew.shape[1]
     fcols = jax.lax.broadcasted_iota(jnp.int32, (nx, nxc), 0) // 2
     ccols = jax.lax.broadcasted_iota(jnp.int32, (nx, nxc), 1)
     sel_x = (fcols == ccols).astype(ec.dtype)
-    ecw = jax.lax.dot_general(
-        t, sel_x, (((1,), (1,)), ((), ())), preferred_element_type=ec.dtype,
-        precision=_MM_PREC)             # (wy, nx)
+    ecw = _dg(t, sel_x, (((1,), (1,)), ((), ())), split="a")   # (wy, nx)
 
     e = ew + over * ecw
     for _ in range(nu):

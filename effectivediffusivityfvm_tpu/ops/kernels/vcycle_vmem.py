@@ -64,8 +64,10 @@ __all__ = ["v_cycle_pallas", "vcycle_fits_vmem"]
 # keeps ~16 mantissa bits.  Plain DEFAULT (k=1, 8-bit mantissa) measurably
 # degrades the preconditioner (doubled tail iteration counts — round-2
 # sweep); Mosaic does not lower Precision.HIGH.  Modes via DEFF_MM_PREC:
-# highest | split3 | split2 | default.
-_MM_MODE = os.environ.get("DEFF_MM_PREC", "highest")
+# highest | split3 | split2 | default.  split3 is the default: f32-parity
+# fidelity (iteration counts identical to HIGHEST on the bench sweep) at
+# half the MXU passes — 767 -> 827 solves/s on the 512^2 headline.
+_MM_MODE = os.environ.get("DEFF_MM_PREC", "split3")
 _MM_PREC = (jax.lax.Precision.DEFAULT if _MM_MODE == "default"
             else jax.lax.Precision.HIGHEST)
 

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import fvm
-from ..ops.kernels.vcycle_vmem import _MM_PREC, _diag_of, _nbsum, _sel
+from ..ops.kernels.vcycle_vmem import _dg, _diag_of, _nbsum, _sel
 from ..ops.kernels.vcycle_tiled import HALO, _smooth_w
 
 __all__ = ["v_cycle_sharded_fused", "fused_shard_level_ok"]
@@ -87,11 +87,8 @@ def _t1s_kernel(rb, rn, rs, awb, awn, aws, anb, ann, ans, dib, din, dis,
     resb = res[h:h + H]
     ry = _sel(H // 2, H, res.dtype)
     rx = _sel(resb.shape[1] // 2, resb.shape[1], res.dtype)
-    t = jnp.dot(ry, resb, preferred_element_type=res.dtype,
-                precision=_MM_PREC)
-    rc_ref[0] = jax.lax.dot_general(
-        t, rx, (((1,), (1,)), ((), ())), preferred_element_type=res.dtype,
-        precision=_MM_PREC)
+    t = _dg(ry, resb, (((1,), (0,)), ((), ())), split="b")
+    rc_ref[0] = _dg(t, rx, (((1,), (1,)), ((), ())), split="a")
 
 
 def _t2s_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
@@ -110,13 +107,10 @@ def _t2s_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     wy = H + 2 * h
     nxc = ec.shape[1]
     ry = _sel(ec.shape[0], wy, ec.dtype)        # S[I, i] = [i//2 == I]
-    t = jax.lax.dot_general(
-        ry, ec, (((0,), (0,)), ((), ())), preferred_element_type=ec.dtype,
-        precision=_MM_PREC)                     # (wy, nxc)
+    t = _dg(ry, ec, (((0,), (0,)), ((), ())), split="b")       # (wy, nxc)
     nx = ew.shape[1]
     px = _sel(nxc, nx, ec.dtype)
-    ecw = jnp.dot(t, px, preferred_element_type=ec.dtype,
-                  precision=_MM_PREC)           # (wy, nx)
+    ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")      # (wy, nx)
 
     e = ew + over * ecw
     for _ in range(nu):
