@@ -38,17 +38,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import fvm
 from ..ops.kernels.vcycle_vmem import _dg, _diag_of, _nbsum, _sel
-from ..ops.kernels.vcycle_tiled import HALO, _smooth_w
+from ..ops.kernels.vcycle_tiled import HALO, _pre_kernel, _smooth_w
 
-__all__ = ["v_cycle_sharded_fused", "fused_shard_level_ok"]
+__all__ = ["v_cycle_sharded_fused", "fused_shard_level_ok", "shard_band"]
+
+
+def _window_fits(rows: int, nx: int, itemsize: int) -> bool:
+    return 16 * (rows + 2 * HALO) * nx * itemsize < 100 * 1024 * 1024
+
+
+def shard_band(ny_local: int, nx: int, itemsize: int = 4) -> int:
+    """Band height for the in-shard fused T1/T2 kernels: the whole local
+    block when its window fits VMEM, else the largest power-of-two
+    divisor band that fits (in-shard banding — lifts the ~1024² local
+    cap).  0 = no usable band (fall back to the XLA sweeps)."""
+    if ny_local < HALO or ny_local % 2 or nx % 2:
+        return 0
+    if _window_fits(ny_local, nx, itemsize):
+        return ny_local
+    b = ny_local
+    while b % 2 == 0 and b > 2:
+        b //= 2
+        if _window_fits(b, nx, itemsize):
+            return b
+    return 0
 
 
 def fused_shard_level_ok(ny_local: int, nx: int, itemsize: int = 4) -> bool:
-    """Whether a sharded level can run the whole-local-block fused T1/T2
-    kernels: a HALO strip must exist and ~16 window fields must fit VMEM."""
-    if ny_local < HALO or ny_local % 2 or nx % 2:
-        return False
-    return 16 * (ny_local + 2 * HALO) * nx * itemsize < 100 * 1024 * 1024
+    """Whether a sharded level can run the fused T1/T2 kernels (whole
+    local block or in-shard banded)."""
+    return shard_band(ny_local, nx, itemsize) > 0
 
 
 def _halo_strips(x, axis_name: str, h: int):
@@ -123,6 +142,55 @@ def _spec(rows, nx):
                         memory_space=pltpu.VMEM)
 
 
+def _t2b_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
+                dib, din, dis, ec_ref, z_ref, *, H, omega, nu, over):
+    """In-shard BANDED T2: band ``g``'s fine window row j maps to row
+    (g*H + j) // 2 of the halo-AUGMENTED local coarse plane
+    (concat(north halo, local coarse, south halo), HALO//2-row halos) —
+    the whole-block mapping generalized with the band offset; exact at
+    every band including the shard edges."""
+    h = HALO
+    ew = jnp.concatenate([en[0, 0], eb[0, 0], es_[0, 0]], axis=0)
+    rw = jnp.concatenate([rn[0, 0], rb[0, 0], rs[0, 0]], axis=0)
+    aww = jnp.concatenate([awn[0, 0], awb[0, 0], aws[0, 0]], axis=0)
+    anw = jnp.concatenate([ann[0, 0], anb[0, 0], ans[0, 0]], axis=0)
+    diw = jnp.concatenate([din[0, 0], dib[0, 0], dis[0, 0]], axis=0)
+
+    ec = ec_ref[0]                               # (ny_l//2 + HALO, nxc)
+    wy = H + 2 * h
+    g = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wy, ec.shape[0]), 0) + g * H
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wy, ec.shape[0]), 1)
+    sel_y = ((rows // 2) == cols).astype(ec.dtype)
+    t = _dg(sel_y, ec, (((1,), (0,)), ((), ())), split="b")    # (wy, nxc)
+    nx = ew.shape[1]
+    px = _sel(ec.shape[1], nx, ec.dtype)
+    ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")      # (wy, nx)
+
+    e = ew + over * ecw
+    for _ in range(nu):
+        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    z_ref[0, 0] = e[h:h + H]
+
+
+def _banded_shard(x, band, axis_name):
+    """(B, ny_l, nx) -> banded (B, G, band, nx) + (B, G, HALO, nx) north/
+    south halo arrays; the shard-edge halos come from the ring neighbors
+    (ppermute) instead of zeros."""
+    bsz, ny_l, nx = x.shape
+    g = ny_l // band
+    xb = x.reshape(bsz, g, band, nx)
+    pn, ps = _halo_strips(x, axis_name, HALO)
+    north = jnp.concatenate([pn[:, None], xb[:, :-1, band - HALO:]], axis=1)
+    south = jnp.concatenate([xb[:, 1:, :HALO], ps[:, None]], axis=1)
+    return xb, north, south
+
+
+def _bspec(g_total, rows, nx):
+    return pl.BlockSpec((1, 1, rows, nx), lambda b, g: (b, g, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _coef_windows(sharded_levels, axis_name):
     """Per-level (aw, an, dinv) bodies + ppermuted halo strips, exchanged
     once per solve (coefficients are loop-invariant)."""
@@ -160,6 +228,91 @@ def v_cycle_sharded_fused(sharded_levels, replicated_levels, coef_wins, r, *,
         level=level, interpret=interpret)
 
 
+def _band_from_windows(body, north, south, band):
+    """Band a plane whose shard-edge halo strips are already exchanged
+    (coefficients: _coef_windows does the ppermute once per solve)."""
+    bsz, ny_l, nx = body.shape
+    g = ny_l // band
+    xb = body.reshape(bsz, g, band, nx)
+    n = jnp.concatenate([north[:, None], xb[:, :-1, band - HALO:]], axis=1)
+    s = jnp.concatenate([xb[:, 1:, :HALO], south[:, None]], axis=1)
+    return xb, n, s
+
+
+def _banded_level(sharded_levels, replicated_levels, coef_wins, rb, coefs,
+                  band, batched, *, nu, omega, coarse_iters, over,
+                  axis_name, level, interpret):
+    """In-shard banded T1/T2 for local blocks past the whole-window VMEM
+    cap: vcycle_tiled's T1 kernel per band + the band-offset T2
+    (_t2b_kernel), shard-edge halos from the ring neighbors."""
+    bsz, ny_l, nx_l = rb.shape
+    g_total = ny_l // band
+    dtype = rb.dtype
+
+    cb = []
+    for i in range(0, 9, 3):
+        cb.extend(_band_from_windows(coefs[i], coefs[i + 1], coefs[i + 2],
+                                     band))
+    rbnd = _banded_shard(rb, band, axis_name)
+
+    body = _bspec(g_total, band, nx_l)
+    halo = _bspec(g_total, HALO, nx_l)
+    cspec = [body, halo, halo]
+    win_bytes = (band + 2 * HALO) * nx_l * dtype.itemsize
+    params = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(40 * win_bytes), 112 << 20))}
+
+    t1 = functools.partial(_pre_kernel, H=band, omega=omega, nu=nu)
+    e_b, rc_b = pl.pallas_call(
+        t1,
+        grid=(bsz, g_total),
+        in_specs=cspec * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, g_total, band, nx_l), dtype),
+            jax.ShapeDtypeStruct((bsz, g_total, band // 2, nx_l // 2),
+                                 dtype),
+        ],
+        out_specs=[body, _bspec(g_total, band // 2, nx_l // 2)],
+        interpret=interpret,
+        **params,
+    )(*rbnd, *cb)
+
+    rc = rc_b.reshape(bsz, ny_l // 2, nx_l // 2)
+    e_c = _v_cycle_sharded_fused_impl(
+        sharded_levels, replicated_levels, coef_wins,
+        rc if batched else rc[0], nu=nu, omega=omega,
+        coarse_iters=coarse_iters, over=over, axis_name=axis_name,
+        level=level + 1, interpret=interpret)
+    ecb3 = e_c if batched else e_c[None]
+    ecn, ecs = _halo_strips(ecb3, axis_name, HALO // 2)
+    ec_aug = jnp.concatenate([ecn, ecb3, ecs], axis=1)
+
+    ebnd = _banded_shard(e_b.reshape(bsz, ny_l, nx_l), band, axis_name)
+    ec_spec = pl.BlockSpec((1, ec_aug.shape[1], ec_aug.shape[2]),
+                           lambda b, g: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    t2 = functools.partial(_t2b_kernel, H=band, omega=omega, nu=nu,
+                           over=over)
+    params2 = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int(40 * win_bytes
+                    + 4 * ec_aug.shape[1] * ec_aug.shape[2]
+                    * dtype.itemsize), 112 << 20))}
+    z_b = pl.pallas_call(
+        t2,
+        grid=(bsz, g_total),
+        in_specs=cspec * 5 + [ec_spec],
+        out_shape=jax.ShapeDtypeStruct((bsz, g_total, band, nx_l), dtype),
+        out_specs=body,
+        interpret=interpret,
+        **params2,
+    )(*ebnd, *rbnd, *cb, ec_aug)
+    z = z_b.reshape(bsz, ny_l, nx_l)
+    return z if batched else z[0]
+
+
 def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
                                 r, *, nu, omega, coarse_iters, over,
                                 axis_name, level, interpret):
@@ -177,7 +330,8 @@ def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
             e_full, idx * ny_local, ny_local, axis=e_full.ndim - 2)
 
     ny_l, nx_l = r.shape[-2], r.shape[-1]
-    if not fused_shard_level_ok(ny_l, nx_l, r.dtype.itemsize):
+    band = shard_band(ny_l, nx_l, r.dtype.itemsize)
+    if band == 0:
         return _v_cycle_sharded_2d(
             sharded_levels, replicated_levels, r, nu1=nu, nu2=nu,
             omega=omega, coarse_iters=coarse_iters, over=over,
@@ -187,6 +341,13 @@ def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
     rb = r if batched else r[None]
     bsz = rb.shape[0]
     coefs = [p if batched else p[None] for p in coef_wins[level]]
+
+    if band < ny_l:
+        return _banded_level(sharded_levels, replicated_levels, coef_wins,
+                             rb, coefs, band, batched, nu=nu, omega=omega,
+                             coarse_iters=coarse_iters, over=over,
+                             axis_name=axis_name, level=level,
+                             interpret=interpret)
 
     rn, rs = _halo_strips(rb, axis_name, HALO)
     body, halo = _spec(ny_l, nx_l), _spec(HALO, nx_l)
