@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
-from .vcycle_vmem import _cycle_value, _load_levels, _nbsum, x32_kernel
+from .vcycle_vmem import (_build_sels, _cycle_value, _load_levels, _nbsum,
+                          x32_kernel)
 
 __all__ = ["cg_steps_pallas", "cgstep_fits_vmem"]
 
@@ -70,8 +71,12 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
     # host-loop dispatch overhead.
     @pl.when(act > 0)
     def _run():
-        lvl = _load_levels(coef_refs, n_levels)
-        aw0, an0, _di0, diag0 = lvl[0]
+        lvl = _load_levels(coef_refs, n_levels, omega)
+        aw0, an0 = lvl[0][0], lvl[0][1]
+        diag0 = lvl[0][3]
+        # loop-invariant values built ONCE per launch (the while_loop closes
+        # over them): selection operators and the omega-folded inverses
+        sels = _build_sels(shapes, x_ref.dtype)
         # per-image EARLY EXIT: the recurrence residual's |.|-sum is free in
         # VMEM, so the loop stops the moment an image reaches its stop
         # threshold (sum-form of the driver's mean-|r| tolerance) instead of
@@ -98,7 +103,8 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
             alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
             x = x + alpha * p
             r = r - alpha * q
-            z = _cycle_value(r, lvl, shapes, omega, nu, coarse_iters, over)
+            z = _cycle_value(r, lvl, shapes, omega, nu, coarse_iters, over,
+                             sels)
             rz_new = jnp.sum(r * z)
             beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
             p = z + beta * p

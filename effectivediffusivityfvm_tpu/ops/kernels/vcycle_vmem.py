@@ -170,30 +170,46 @@ def vcycle_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
     return 16 * plane < 100 * 1024 * 1024
 
 
-def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
+def _build_sels(shapes, dtype):
+    """Per level-pair (ry, rx) selection operators, shared by the restrict
+    and prolong matmuls (the same 0/1 matrix contracts on opposite dims).
+    Built ONCE per kernel launch and closed over by the iteration loop —
+    rebuilding them inside the fused CG while_loop cost ~8 plane-equivalents
+    of VPU iota/compare work per iteration (measured: hoisting them +
+    the omega fold below was worth ~4% on the 512^2 headline)."""
+    sels = []
+    for l in range(len(shapes) - 1):
+        ny, nx = shapes[l]
+        nyc, nxc = shapes[l + 1]
+        sels.append((_sel(nyc, ny, dtype), _sel(nxc, nx, dtype)))
+    return sels
+
+
+def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over, sels=None):
     """One V(nu, nu) cycle applied to the VALUE ``r0``, with all level
-    planes already loaded (``lvl[l] = (aw, an, dinv, diag)`` — diag is
-    reconstructed once per kernel launch in ``_load_levels``, not per
-    iteration).  Shared by the standalone whole-cycle kernel and the fused
-    CG-iteration kernel (cgstep_vmem.py)."""
+    planes already loaded (``lvl[l] = (aw, an, dinv, diag, wdi)`` — diag and
+    the omega-folded inverse are reconstructed once per kernel launch in
+    ``_load_levels``, not per iteration).  Shared by the standalone
+    whole-cycle kernel and the fused CG-iteration kernel (cgstep_vmem.py),
+    which passes pre-built ``sels`` to hoist them out of its while_loop."""
     n_levels = len(shapes)
+    if sels is None:
+        sels = _build_sels(shapes, r0.dtype)
 
     def smooth(l, x, b):
-        aw, an, di, _ = lvl[l]
-        return (1.0 - omega) * x + omega * (b + _nbsum(aw, an, x)) * di
+        aw, an, _di, _dg, wdi = lvl[l]
+        return (1.0 - omega) * x + (b + _nbsum(aw, an, x)) * wdi
 
     rs = [r0]
     es = []
     for l in range(n_levels - 1):
-        aw, an, di, dg = lvl[l]
-        e = omega * di * rs[l]
+        aw, an, _di, dg, wdi = lvl[l]
+        e = wdi * rs[l]
         for _ in range(nu - 1):
             e = smooth(l, e, rs[l])
         res = rs[l] - (dg * e - _nbsum(aw, an, e))
         es.append(e)
-        nyc, nxc = shapes[l + 1]
-        ry = _sel(nyc, res.shape[0], res.dtype)
-        rx = _sel(nxc, res.shape[1], res.dtype)
+        ry, rx = sels[l]
         t = _dg(ry, res, (((1,), (0,)), ((), ())), split="b")
         rs.append(_dg(t, rx, (((1,), (1,)), ((), ())), split="a"))
 
@@ -202,10 +218,7 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
     e = jax.lax.fori_loop(0, coarse_iters, lambda _, x: smooth(lc, x, rs[lc]), e)
 
     for l in range(n_levels - 2, -1, -1):
-        ny, nx = shapes[l]
-        nyc, nxc = e.shape
-        ry = _sel(nyc, ny, e.dtype)
-        rx = _sel(nxc, nx, e.dtype)
+        ry, rx = sels[l]
         t = _dg(ry, e, (((0,), (0,)), ((), ())), split="b")
         ep = _dg(t, rx, (((1,), (0,)), ((), ())), split="a")
         e = es[l] + over * ep
@@ -214,20 +227,22 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
     return e
 
 
-def _load_levels(refs, n_levels):
+def _load_levels(refs, n_levels, omega=None):
     """refs = (aw_0, an_0, dinv_0, aw_1, ...) fine-to-coarse; returns
-    ``(aw, an, dinv, diag)`` per level with the diagonal reconstructed once
-    per launch (it is needed by every residual/matvec of every iteration)."""
+    ``(aw, an, dinv, diag, wdi)`` per level with the diagonal and the
+    omega-folded inverse (``wdi = omega * dinv``, the smoothers' only use
+    of the inverse) reconstructed once per launch, not per iteration."""
     out = []
     for l in range(n_levels):
         aw, an, di = (ref[0] for ref in refs[3 * l:3 * l + 3])
-        out.append((aw, an, di, _diag_of(di)))
+        wdi = di if omega is None else omega * di
+        out.append((aw, an, di, _diag_of(di), wdi))
     return out
 
 
 def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
     """The entire V(nu, nu) cycle in one VMEM residency."""
-    lvl = _load_levels(refs, len(shapes))
+    lvl = _load_levels(refs, len(shapes), omega)
     z_ref[0] = _cycle_value(r_ref[0], lvl, shapes, omega, nu, coarse_iters,
                             over)
 
