@@ -321,17 +321,20 @@ def sharded_solve_mgcg(
     the extra axis — see sharded_solve_jacobi for why the dp-wide psum'd
     trip count is required).
 
-    ``use_pallas``: None = auto — on TPU fp32 V(nu, nu) the cycle runs the
-    per-shard fused T1/T2 Pallas kernels with HALO-strip ppermutes
-    (parallel/fused2d.py; measured 2.1x the XLA sweeps end-to-end at
-    1024², numerics identical); False forces XLA; True forces fused."""
+    ``use_pallas``: None = auto — on TPU fp32 V(nu, nu) the solve runs the
+    fused sharded whole-CG-iteration engine when the shard's fine window
+    fits VMEM (parallel/fused2d_cg.py: three per-shard Pallas passes per
+    PCG iteration with psum'd scalars), else the per-shard fused T1/T2
+    cycle kernels under the XLA CG algebra (parallel/fused2d.py; measured
+    2.1x the XLA sweeps end-to-end at 1024², numerics identical); False
+    forces XLA; True forces fused."""
     batched = x0.ndim == 3
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu"
                       and coeffs.diag.dtype == jnp.float32
                       and nu1 == nu2 and nu1 <= 4)
     runner = _mgcg_runner(mesh, batched, tol, max_iter,
-                          min(check_every, 10), criterion, nu1, nu2,
+                          check_every, criterion, nu1, nu2,
                           mg_omega, coarse_iters, min_size, over,
                           spatial_axis, batch_axis, use_pallas,
                           pallas_interpret)
@@ -364,6 +367,22 @@ def _mgcg_runner(mesh, batched, tol, max_iter, check_every, criterion, nu1,
         out_specs=out_specs, check_vma=False,
     )
     def run(c_l, s_l, x0_l):
+        ny_l, nx_l = x0_l.shape[-2], x0_l.shape[-1]
+        if use_pallas:
+            from .fused2d_cg import run_mgcg_sharded_fused, sharded_fused_cg_ok
+
+            if sharded_fused_cg_ok(ny_l, nx_l, x0_l.dtype.itemsize):
+                # fused whole-CG-iteration engine: the CG algebra joins the
+                # cycle inside per-shard Pallas passes (honors the caller's
+                # check_every; the XLA path below chunks at <= 10)
+                return run_mgcg_sharded_fused(
+                    c_l, s_l, x0_l, tol=tol, max_iter=max_iter,
+                    check_every=check_every, criterion=criterion, nu=nu1,
+                    mg_omega=mg_omega, coarse_iters=coarse_iters,
+                    min_size=min_size, over=over, axis_name=spatial_axis,
+                    batch_axis=batch_axis if batched else None,
+                    interpret=pallas_interpret)
+
         sharded_levels, replicated_levels = _build_sharded_hierarchy_2d(
             c_l, x0_l.shape[-2], spatial_axis, min_size=min_size)
 
@@ -409,7 +428,7 @@ def _mgcg_runner(mesh, batched, tol, max_iter, check_every, criterion, nu1,
         return run_pcg(
             matvec=matvec, precond=precond, b=c_l.b, x0=x0_l,
             deff_fn=deff_fn, tol=tol, max_iter=max_iter,
-            check_every=check_every, criterion=criterion, grid_ndim=2,
+            check_every=min(check_every, 10), criterion=criterion, grid_ndim=2,
             batched=batched, reduce_any_fn=reduce_any,
             mean_abs_fn=mean_abs_fn, dot_fn=dot_fn,
         )
