@@ -37,6 +37,15 @@ import time
 
 import numpy as np
 
+# Bench-site matmul precision for the fused kernels' restrict/prolong
+# selection matmuls (read at kernel-trace time, so set before any kernel
+# import): split2 (bf16x2 data operand, ~16 mantissa bits) measures
+# ITERATION-IDENTICAL to split3/HIGHEST on this medium (14..30 vs 14..31,
+# same residuals — benchmarks/bench_tail_sweep.py, rounds 2-3) at ~4% more
+# throughput.  The library default stays split3 (f32-parity fidelity);
+# export DEFF_MM_PREC to override.
+os.environ.setdefault("DEFF_MM_PREC", "split2")
+
 BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "64"))
 SIZE = 512
 TOL = 1e-6
