@@ -35,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm3d import StencilCoeffs3D
 from .vcycle_vmem import _diag_of, x32_kernel
-from .vcycle3d import (HALO_Z, _nbsum3, _prolong3_yx, _restrict3_yx,
-                       _smooth3, _specs3, _win3, banded3, coarse_tail3)
+from .vcycle3d import (HALO_Z, _coarse_specs3, _edge_flags, _hwin3, _nbsum3,
+                       _prolong3_yx, _restrict3_yx, _smooth3, _specs3,
+                       banded3, coarse_tail3)
 
 __all__ = ["cg_steps3d_tiled"]
 
@@ -48,9 +49,10 @@ def _scal_spec(bsz):
 
 def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
              anb, ann, ans, aub, aun, aus, dib, din, dis, p_out, pap_ref,
-             *, BZ):
+             *, BZ, g_total):
     h = HALO_Z
     b, g = pl.program_id(0), pl.program_id(1)
+    fst, lst = _edge_flags(g_total)
 
     @pl.when(g == 0)
     def _init():
@@ -59,11 +61,12 @@ def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
     @pl.when(live_ref[b, 0] > 0)
     def _run():
         beta = beta_ref[b, 0]
-        pw = _win3(zn, zb, zs) + beta * _win3(pn, pb, ps)
-        aww = _win3(awn, awb, aws)
-        anw = _win3(ann, anb, ans)
-        auw = _win3(aun, aub, aus)
-        dgw = _diag_of(_win3(din, dib, dis))
+        pw = (_hwin3(zn, zb, zs, fst, lst)
+              + beta * _hwin3(pn, pb, ps, fst, lst))
+        aww = _hwin3(awn, awb, aws, fst, lst)
+        anw = _hwin3(ann, anb, ans, fst, lst)
+        auw = _hwin3(aun, aub, aus, fst, lst)
+        dgw = _diag_of(_hwin3(din, dib, dis, fst, lst))
         q = dgw * pw - _nbsum3(aww, anw, auw, pw)     # valid margin 1
         pbnd = pw[h:h + BZ]
         p_out[...] = pbnd
@@ -76,9 +79,10 @@ def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
 
 def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
              anb, ann, ans, aub, aun, aus, dib, din, dis, x_out, r_out,
-             e_out, rc_out, sr_ref, *, BZ, nyc, nxc, omega, nu):
+             e_out, rc_out, sr_ref, *, BZ, nyc, nxc, omega, nu, g_total):
     h = HALO_Z
     b, g = pl.program_id(0), pl.program_id(1)
+    fst, lst = _edge_flags(g_total)
 
     @pl.when(g == 0)
     def _init():
@@ -87,14 +91,14 @@ def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
     @pl.when(live_ref[b, 0] > 0)
     def _run():
         alpha = alpha_ref[b, 0]
-        pw = _win3(pn, pb, ps)
-        aww = _win3(awn, awb, aws)
-        anw = _win3(ann, anb, ans)
-        auw = _win3(aun, aub, aus)
-        diw = _win3(din, dib, dis)
+        pw = _hwin3(pn, pb, ps, fst, lst)
+        aww = _hwin3(awn, awb, aws, fst, lst)
+        anw = _hwin3(ann, anb, ans, fst, lst)
+        auw = _hwin3(aun, aub, aus, fst, lst)
+        diw = _hwin3(din, dib, dis, fst, lst)
         dgw = _diag_of(diw)
         q = dgw * pw - _nbsum3(aww, anw, auw, pw)     # valid margin 1
-        rw = _win3(rn, rb, rs) - alpha * q            # valid margin 1
+        rw = _hwin3(rn, rb, rs, fst, lst) - alpha * q   # valid margin 1
         x_out[...] = xb[...] + alpha * pb[...]
 
         e = omega * diw * rw
@@ -120,9 +124,10 @@ def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
 
 def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
              ans, aub, aun, aus, dib, din, dis, ecb, ecn, ecs, z_out,
-             rz_ref, *, BZ, omega, nu, over):
+             rz_ref, *, BZ, omega, nu, over, g_total):
     h = HALO_Z
     b, g = pl.program_id(0), pl.program_id(1)
+    fst, lst = _edge_flags(g_total)
 
     @pl.when(g == 0)
     def _init():
@@ -130,14 +135,14 @@ def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
 
     @pl.when(live_ref[b, 0] > 0)
     def _run():
-        ew = _win3(en, eb, es_)
-        rw = _win3(rn, rb, rs)
-        aww = _win3(awn, awb, aws)
-        anw = _win3(ann, anb, ans)
-        auw = _win3(aun, aub, aus)
-        diw = _win3(din, dib, dis)
+        ew = _hwin3(en, eb, es_, fst, lst)
+        rw = _hwin3(rn, rb, rs, fst, lst)
+        aww = _hwin3(awn, awb, aws, fst, lst)
+        anw = _hwin3(ann, anb, ans, fst, lst)
+        auw = _hwin3(aun, aub, aus, fst, lst)
+        diw = _hwin3(din, dib, dis, fst, lst)
 
-        ecw = jnp.concatenate([ecn[...], ecb[...], ecs[...]], axis=0)
+        ecw = _hwin3(ecn, ecb, ecs, fst, lst)
         ny, nx = ew.shape[1], ew.shape[2]
         t = _prolong3_yx(ecw, ny, nx)
         nzh = t.shape[0]
@@ -156,20 +161,6 @@ def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
         z_out[...] = jnp.zeros_like(z_out[...])
 
 
-def _halos3(xb, bsz, g_total, band, ny, nx):
-    """Flattened banded (B*G*band, ny, nx) -> (north, south) flattened
-    (B*G*HALO_Z, ny, nx) halo arrays."""
-    x5 = xb.reshape(bsz, g_total, band, ny, nx)
-    zero = jnp.zeros((bsz, 1, HALO_Z, ny, nx), xb.dtype)
-    north = jnp.concatenate([zero, x5[:, :-1, band - HALO_Z:]], axis=1)
-    south = jnp.concatenate([x5[:, 1:, :HALO_Z], zero], axis=1)
-
-    def flat(a):
-        return a.reshape((-1,) + a.shape[-2:])
-
-    return flat(north), flat(south)
-
-
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
                                              "over", "band", "interpret"))
 @x32_kernel
@@ -186,9 +177,9 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
     on an operator padded to ``pad_shape_3d``; nz % band == 0): returns
     (x, r, p, rz, k_done)."""
     bsz, nz, ny, nx = x.shape
-    if nz % band or band % 2 or nu > HALO_Z - 1:
-        raise ValueError(f"cg_steps3d_tiled: nz={nz} % band={band}, band "
-                         f"even, nu<={HALO_Z - 1} required")
+    if nz % band or band % HALO_Z or nu > HALO_Z - 1:
+        raise ValueError(f"cg_steps3d_tiled: nz={nz} % band={band}, band % "
+                         f"{HALO_Z} == 0, nu<={HALO_Z - 1} required")
     c0 = levels[0]
     g_total = nz // band
     dtype = x.dtype
@@ -196,10 +187,11 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
 
     coef_ops = []
     for plane in (c0.a_w, c0.a_n, c0.a_u, c0.diag_inv):
-        coef_ops.extend(banded3(plane.reshape(x.shape), band))
+        pf = banded3(plane.reshape(x.shape), band)
+        coef_ops.extend((pf, pf, pf))
 
-    body, halo = _specs3(g_total, band, ny, nx)
-    cspec = [body, halo, halo]
+    body, north, south = _specs3(bsz, g_total, band, ny, nx)
+    cspec = [body, north, south]
     scal = _scal_spec(bsz)
     scal_out = pl.BlockSpec((bsz, 1), lambda b, g: (0, 0),
                             memory_space=pltpu.SMEM)
@@ -209,21 +201,18 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
         if interpret:
             return {}
         return {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(40 * win_bytes + extra), 112 << 20))}
+            vmem_limit_bytes=min(max(int(40 * win_bytes + extra), 16 << 20),
+                                 112 << 20))}
 
     scal_shape = jax.ShapeDtypeStruct((bsz, 1), dtype)
     band_shape = jax.ShapeDtypeStruct((bsz * nz, ny, nx), dtype)
     rc_shape = jax.ShapeDtypeStruct((bsz * g_total * (band // 2), ny1, nx1),
                                     dtype)
-    rc_spec = pl.BlockSpec((band // 2, ny1, nx1),
-                           lambda b, g: (b * g_total + g, 0, 0),
-                           memory_space=pltpu.VMEM)
-    ech_spec = pl.BlockSpec((HALO_Z // 2, ny1, nx1),
-                            lambda b, g: (b * g_total + g, 0, 0),
-                            memory_space=pltpu.VMEM)
+    ecb_spec, ecn_spec, ecs_spec = _coarse_specs3(bsz, g_total, band,
+                                                  ny1, nx1)
 
     pa = pl.pallas_call(
-        functools.partial(_pass_a3, BZ=band),
+        functools.partial(_pass_a3, BZ=band, g_total=g_total),
         grid=(bsz, g_total),
         in_specs=[scal, scal] + cspec * 2 + cspec * 4,
         out_shape=[band_shape, scal_shape],
@@ -233,19 +222,20 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
     )
     pb_ = pl.pallas_call(
         functools.partial(_pass_b3, BZ=band, nyc=ny1, nxc=nx1, omega=omega,
-                          nu=nu),
+                          nu=nu, g_total=g_total),
         grid=(bsz, g_total),
         in_specs=[scal, scal, body] + cspec * 2 + cspec * 4,
         out_shape=[band_shape, band_shape, band_shape, rc_shape, scal_shape],
-        out_specs=[body, body, body, rc_spec, scal_out],
+        out_specs=[body, body, body, ecb_spec, scal_out],
         interpret=interpret,
         **params(),
     )
     pc = pl.pallas_call(
-        functools.partial(_pass_c3, BZ=band, omega=omega, nu=nu, over=over),
+        functools.partial(_pass_c3, BZ=band, omega=omega, nu=nu, over=over,
+                          g_total=g_total),
         grid=(bsz, g_total),
-        in_specs=[scal] + cspec * 2 + cspec * 4 + [rc_spec, ech_spec,
-                                                   ech_spec],
+        in_specs=[scal] + cspec * 2 + cspec * 4 + [ecb_spec, ecn_spec,
+                                                   ecs_spec],
         out_shape=[band_shape, scal_shape],
         out_specs=[body, scal_out],
         interpret=interpret,
@@ -260,12 +250,6 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
     def to_b(a):
         return a.reshape(bsz * nz, ny, nx)
 
-    def halos(a):
-        return _halos3(a, bsz, g_total, band, ny, nx)
-
-    def flatc(a):
-        return a.reshape((-1,) + a.shape[-2:])
-
     sr0 = jnp.sum(jnp.abs(r), axis=(-3, -2, -1))
     live0 = (active[:, 0] > 0) & (sr0 > stop_) & (sr0 < hi_)
 
@@ -277,30 +261,20 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
         livef = live.astype(dtype)[:, None]
         beta = jnp.where((i > 0) & live & (rz_p > 0),
                          rz_c / jnp.where(rz_p > 0, rz_p, 1.0), zeros_s)
-        zn, zs = halos(zb)
-        pn, ps = halos(pb)
         p_new, pap = pa(beta[:, None].astype(dtype), livef,
-                        zb, zn, zs, pb, pn, ps, *coef_ops)
+                        zb, zb, zb, pb, pb, pb, *coef_ops)
         pap = pap[:, 0]
         alpha = jnp.where(live & (pap > 0),
                           rz_c / jnp.where(pap > 0, pap, 1.0), zeros_s)
-        pn2, ps2 = halos(p_new)
-        rn, rs = halos(rb)
         x_new, r_new, e_b, rc_b, sr_out = pb_(
             alpha[:, None].astype(dtype), livef, xb,
-            p_new, pn2, ps2, rb, rn, rs, *coef_ops)
+            p_new, p_new, p_new, rb, rb, rb, *coef_ops)
         e_c = coarse_tail3(levels, rc_b, bsz, omega=omega, nu=nu,
                            coarse_iters=coarse_iters, over=over,
                            interpret=interpret)
-        ecg = e_c[:, : nz // 2].reshape(bsz, g_total, band // 2, ny1, nx1)
-        zc = jnp.zeros((bsz, 1, HALO_Z // 2, ny1, nx1), dtype)
-        ecn = jnp.concatenate(
-            [zc, ecg[:, :-1, band // 2 - HALO_Z // 2:]], axis=1)
-        ecs = jnp.concatenate([ecg[:, 1:, : HALO_Z // 2], zc], axis=1)
-        en, es_ = halos(e_b)
-        rn2, rs2 = halos(r_new)
-        z_new, rz_out = pc(livef, e_b, en, es_, r_new, rn2, rs2,
-                           *coef_ops, flatc(ecg), flatc(ecn), flatc(ecs))
+        ecf = e_c[:, : nz // 2].reshape((-1, ny1, nx1))
+        z_new, rz_out = pc(livef, e_b, e_b, e_b, r_new, r_new, r_new,
+                           *coef_ops, ecf, ecf, ecf)
         sr_new = jnp.where(live, sr_out[:, 0], sr)
         rz_new = jnp.where(live, rz_out[:, 0], rz_c)
         rz_p_new = jnp.where(live, rz_c, rz_p)

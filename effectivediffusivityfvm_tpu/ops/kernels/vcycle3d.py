@@ -227,11 +227,14 @@ def v_cycle3d_pallas(levels: List[StencilCoeffs3D], r: jax.Array, *,
     # the concat-based 3D neighbor sum keeps ~6 shifted copies live (vs 4
     # rolls in 2D), so the scoped stack runs ~1.5x the 2D estimate
     # (measured: 30.6 MB actual at 64^3 vs the 2D-formula's 21.4 MB);
-    # grant 2x the measured-shape estimate, capped at physical VMEM
+    # grant 2x the measured-shape estimate, floored at Mosaic's own 16 MB
+    # default (XLA may additionally stack-place the in/outputs of a SMALL
+    # kernel in vmem — observed 6.75 MiB demanded at a 32^3 pyramid where
+    # the shape formula granted 5.86), capped at physical VMEM
     limit = int(8 * (2 * (4 * pyramid + 2 * vol) + 2 * pyramid + 8 * vol))
     params = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(limit, 112 << 20))}
+            vmem_limit_bytes=min(max(limit, 16 << 20), 112 << 20))}
 
     kernel = functools.partial(_whole_kernel3, shapes=shapes, omega=omega,
                                nu=nu, coarse_iters=coarse_iters, over=over)
@@ -252,14 +255,17 @@ def v_cycle3d_pallas(levels: List[StencilCoeffs3D], r: jax.Array, *,
 # --------------------------------------------------------------------------
 
 def band_z_for(nz: int, ny: int, nx: int, itemsize: int = 4) -> int:
-    """Largest even z-band whose T1/T2 working set (~18 window fields incl.
-    double-buffering) fits the VMEM budget."""
+    """Largest z-band whose T1/T2 working set (~18 window fields incl.
+    double-buffering) fits the VMEM budget.  Always a multiple of HALO_Z
+    (the in-array halo BlockSpecs index in HALO_Z-block units)."""
     budget = 100 * 1024 * 1024
     plane = ny * nx * itemsize
-    for bz in (64, 32, 16, 8, 4, 2):
+    for bz in (64, 32, 16, 8, 4):
         if 18 * (bz + 2 * HALO_Z) * plane < budget:
-            return min(bz, nz + nz % 2) if bz >= nz else bz
-    return 2
+            if bz >= nz:            # one band covers the volume; keep the
+                return -(-nz // HALO_Z) * HALO_Z   # block quantum anyway
+            return bz
+    return 4
 
 
 def pad_shape_3d(nz: int, ny: int, nx: int, band: int) -> tuple:
@@ -292,15 +298,36 @@ def _win3(n_ref, b_ref, s_ref):
     return jnp.concatenate([n_ref[...], b_ref[...], s_ref[...]], axis=0)
 
 
+def _hwin3(n_ref, b_ref, s_ref, first, last):
+    """Masked window for IN-ARRAY halo blocks: the north/south specs clamp
+    their index at the global z edges (vcycle3d._specs3), so the edge
+    bands' halo blocks alias arbitrary in-array rows and must read as the
+    zero fill the old separate halo arrays carried.  ``first``/``last``
+    are scalar bools (g == 0 / g == G-1); jnp.where (not a 0/1 multiply)
+    so a neighbor image's Inf cannot poison this one's window as NaN."""
+    nb = n_ref[...]
+    sb = s_ref[...]
+    nb = jnp.where(first, jnp.zeros_like(nb), nb)
+    sb = jnp.where(last, jnp.zeros_like(sb), sb)
+    return jnp.concatenate([nb, b_ref[...], sb], axis=0)
+
+
+def _edge_flags(g_total):
+    g = pl.program_id(1)
+    return g == 0, g == g_total - 1
+
+
 def _t1_kernel3(rb, rn, rs, awb, awn, aws, anb, ann, ans, aub, aun, aus,
-                dib, din, dis, e_ref, rc_ref, *, BZ, nyc, nxc, omega, nu):
+                dib, din, dis, e_ref, rc_ref, *, BZ, nyc, nxc, omega, nu,
+                g_total):
     """Pre-smooth + residual + 2x2x2 restriction on one z-slab."""
     h = HALO_Z
-    rw = _win3(rn, rb, rs)
-    aww = _win3(awn, awb, aws)
-    anw = _win3(ann, anb, ans)
-    auw = _win3(aun, aub, aus)
-    diw = _win3(din, dib, dis)
+    first, last = _edge_flags(g_total)
+    rw = _hwin3(rn, rb, rs, first, last)
+    aww = _hwin3(awn, awb, aws, first, last)
+    anw = _hwin3(ann, anb, ans, first, last)
+    auw = _hwin3(aun, aub, aus, first, last)
+    diw = _hwin3(din, dib, dis, first, last)
     dgw = _diag_of(diw)
 
     e = omega * diw * rw
@@ -316,20 +343,21 @@ def _t1_kernel3(rb, rn, rs, awb, awn, aws, anb, ann, ans, aub, aun, aus,
 
 def _t2_kernel3(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
                 aub, aun, aus, dib, din, dis, ecb, ecn, ecs, z_ref, *,
-                BZ, omega, nu, over):
+                BZ, omega, nu, over, g_total):
     """Prolong + add + post-smooth on one z-slab.  The coarse correction
     arrives as its own banded window (BZ//2 + HALO_Z coarse slices cover
     the fine window exactly: fine slice g*BZ - HZ + j maps to coarse
     (g*BZ - HZ)/2 + j//2, both offsets even)."""
     h = HALO_Z
-    ew = _win3(en, eb, es_)
-    rw = _win3(rn, rb, rs)
-    aww = _win3(awn, awb, aws)
-    anw = _win3(ann, anb, ans)
-    auw = _win3(aun, aub, aus)
-    diw = _win3(din, dib, dis)
+    first, last = _edge_flags(g_total)
+    ew = _hwin3(en, eb, es_, first, last)
+    rw = _hwin3(rn, rb, rs, first, last)
+    aww = _hwin3(awn, awb, aws, first, last)
+    anw = _hwin3(ann, anb, ans, first, last)
+    auw = _hwin3(aun, aub, aus, first, last)
+    diw = _hwin3(din, dib, dis, first, last)
 
-    ecw = jnp.concatenate([ecn[...], ecb[...], ecs[...]], axis=0)
+    ecw = _hwin3(ecn, ecb, ecs, first, last)
     ny, nx = ew.shape[1], ew.shape[2]
     t = _prolong3_yx(ecw, ny, nx)                     # (BZ//2 + HZ, ny, nx)
     nzh = t.shape[0]
@@ -342,29 +370,62 @@ def _t2_kernel3(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
 
 
 def banded3(x, band):
-    """(B, nz, ny, nx) -> flattened banded body (B*G*band, ny, nx) plus
-    north/south halo arrays (B*G*HALO_Z, ny, nx), zeros past the edges."""
-    bsz, nz, ny, nx = x.shape
-    g = nz // band
-    xb = x.reshape(bsz, g, band, ny, nx)
-    zero = jnp.zeros((bsz, 1, HALO_Z, ny, nx), x.dtype)
-    north = jnp.concatenate([zero, xb[:, :-1, band - HALO_Z:]], axis=1)
-    south = jnp.concatenate([xb[:, 1:, :HALO_Z], zero], axis=1)
+    """(B, nz, ny, nx) -> the flattened banded body (B*G*band, ny, nx).
 
-    def flat(a):
-        return a.reshape((-1,) + a.shape[-2:])
-
-    return flat(xb), flat(north), flat(south)
+    Halo slices are NOT materialized: the banded kernels read them straight
+    out of this same array through the clamped north/south BlockSpecs of
+    :func:`_specs3` (pass the body three times), and the global-edge bands
+    mask their aliased halo blocks to the zero fill in-kernel (_hwin3).
+    The old separate halo arrays cost ~2 volume passes to build + stream
+    per field per call — at band=8 (256^3) that was ~1/4 of the fused CG
+    engine's per-iteration HBM traffic."""
+    return x.reshape((-1,) + x.shape[-2:])
 
 
-def _specs3(g_total, band, ny, nx):
+def _specs3(bsz, g_total, band, ny, nx):
+    """Body + IN-ARRAY halo specs over a flattened (B*G*band, ny, nx)
+    array.  Halo blocks are (HALO_Z, ny, nx) slices of the SAME array: the
+    north halo of band g is the last HALO_Z rows of band g-1 (block index
+    (b*G+g)*q - 1 in HALO_Z units, q = band/HALO_Z), the south halo the
+    first HALO_Z rows of band g+1.  Edge bands clamp into valid range and
+    the kernels zero-mask them (_hwin3).  Requires band % HALO_Z == 0
+    (band_z_for only returns multiples)."""
+    q = band // HALO_Z
+    n_blocks = bsz * g_total * q
     body = pl.BlockSpec((band, ny, nx),
                         lambda b, g: (b * g_total + g, 0, 0),
                         memory_space=pltpu.VMEM)
-    halo = pl.BlockSpec((HALO_Z, ny, nx),
-                        lambda b, g: (b * g_total + g, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return body, halo
+    north = pl.BlockSpec(
+        (HALO_Z, ny, nx),
+        lambda b, g: (jnp.maximum((b * g_total + g) * q - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    south = pl.BlockSpec(
+        (HALO_Z, ny, nx),
+        lambda b, g: (jnp.minimum((b * g_total + g + 1) * q, n_blocks - 1),
+                      0, 0),
+        memory_space=pltpu.VMEM)
+    return body, north, south
+
+
+def _coarse_specs3(bsz, g_total, band, ny1, nx1):
+    """Body + in-array halo specs for the banded coarse correction
+    (B*G*(band//2), ny1, nx1): same construction as _specs3 at half
+    granularity (q = (band/2)/(HALO_Z/2) = band/HALO_Z)."""
+    q = band // HALO_Z
+    n_blocks = bsz * g_total * q
+    ecb = pl.BlockSpec((band // 2, ny1, nx1),
+                       lambda b, g: (b * g_total + g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    ecn = pl.BlockSpec(
+        (HALO_Z // 2, ny1, nx1),
+        lambda b, g: (jnp.maximum((b * g_total + g) * q - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    ecs = pl.BlockSpec(
+        (HALO_Z // 2, ny1, nx1),
+        lambda b, g: (jnp.minimum((b * g_total + g + 1) * q, n_blocks - 1),
+                      0, 0),
+        memory_space=pltpu.VMEM)
+    return ecb, ecn, ecs
 
 
 def coarse_tail3(levels, rc_flat, bsz, *, omega, nu, coarse_iters, over,
@@ -410,32 +471,34 @@ def v_cycle3d_tiled(levels: List[StencilCoeffs3D], r: jax.Array, *,
     operator padded to :func:`pad_shape_3d`; nz % band == 0, band even,
     nu <= HALO_Z - 1."""
     bsz, nz, ny, nx = r.shape
-    if nz % band or band % 2 or nu > HALO_Z - 1:
-        raise ValueError(f"v_cycle3d_tiled: nz={nz} % band={band}, band "
-                         f"even, nu<={HALO_Z - 1} required")
+    if nz % band or band % HALO_Z or nu > HALO_Z - 1:
+        raise ValueError(f"v_cycle3d_tiled: nz={nz} % band={band}, band % "
+                         f"{HALO_Z} == 0, nu<={HALO_Z - 1} required")
     c0 = levels[0]
     g_total = nz // band
     dtype = r.dtype
     ny1, nx1 = levels[1].diag.shape[-2:]
 
-    rb, rn, rs = banded3(r, band)
+    rb = banded3(r, band)
     coef_ops = []
     for plane in (c0.a_w, c0.a_n, c0.a_u, c0.diag_inv):
-        coef_ops.extend(banded3(plane.reshape(r.shape), band))
+        pf = banded3(plane.reshape(r.shape), band)
+        coef_ops.extend((pf, pf, pf))
 
-    body, halo = _specs3(g_total, band, ny, nx)
-    cspec = [body, halo, halo]
+    body, north, south = _specs3(bsz, g_total, band, ny, nx)
+    cspec = [body, north, south]
     win_bytes = (band + 2 * HALO_Z) * ny * nx * dtype.itemsize
     params = {} if interpret else {
         "compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(40 * win_bytes), 112 << 20))}
+            vmem_limit_bytes=min(max(int(40 * win_bytes), 16 << 20),
+                                 112 << 20))}
 
     hb = pl.BlockSpec((band // 2, ny1, nx1),
                       lambda b, g: (b * g_total + g, 0, 0),
                       memory_space=pltpu.VMEM)
 
     t1 = functools.partial(_t1_kernel3, BZ=band, nyc=ny1, nxc=nx1,
-                           omega=omega, nu=nu)
+                           omega=omega, nu=nu, g_total=g_total)
     e_b, rc_b = pl.pallas_call(
         t1,
         grid=(bsz, g_total),
@@ -448,39 +511,26 @@ def v_cycle3d_tiled(levels: List[StencilCoeffs3D], r: jax.Array, *,
         out_specs=[body, hb],
         interpret=interpret,
         **params,
-    )(rb, rn, rs, *coef_ops)
+    )(rb, rb, rb, *coef_ops)
 
     e_c = coarse_tail3(levels, rc_b, bsz, omega=omega, nu=nu,
                        coarse_iters=coarse_iters, over=over,
                        interpret=interpret)
 
-    # band the coarse correction with HALO_Z//2 halos over the fine z range
-    ecg = e_c[:, : nz // 2].reshape(bsz, g_total, band // 2, ny1, nx1)
-    zc = jnp.zeros((bsz, 1, HALO_Z // 2, ny1, nx1), dtype)
-    ecn = jnp.concatenate([zc, ecg[:, :-1, band // 2 - HALO_Z // 2:]], axis=1)
-    ecs = jnp.concatenate([ecg[:, 1:, : HALO_Z // 2], zc], axis=1)
+    # the coarse correction windows read in-array too (HALO_Z//2 halos)
+    ecf = e_c[:, : nz // 2].reshape((-1, ny1, nx1))
+    ecb_spec, ecn_spec, ecs_spec = _coarse_specs3(bsz, g_total, band,
+                                                  ny1, nx1)
 
-    def flatc(a):
-        return a.reshape((-1,) + a.shape[-2:])
-
-    ecb_spec = pl.BlockSpec((band // 2, ny1, nx1),
-                            lambda b, g: (b * g_total + g, 0, 0),
-                            memory_space=pltpu.VMEM)
-    ech_spec = pl.BlockSpec((HALO_Z // 2, ny1, nx1),
-                            lambda b, g: (b * g_total + g, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    eb2, en2, es2 = banded3(e_b.reshape(bsz, nz, ny, nx), band)
     t2 = functools.partial(_t2_kernel3, BZ=band, omega=omega, nu=nu,
-                           over=over)
+                           over=over, g_total=g_total)
     z_b = pl.pallas_call(
         t2,
         grid=(bsz, g_total),
-        in_specs=cspec * 6 + [ecb_spec, ech_spec, ech_spec],
+        in_specs=cspec * 6 + [ecb_spec, ecn_spec, ecs_spec],
         out_shape=jax.ShapeDtypeStruct((bsz * nz, ny, nx), dtype),
         out_specs=body,
         interpret=interpret,
         **params,
-    )(eb2, en2, es2, rb, rn, rs, *coef_ops,
-      flatc(ecg), flatc(ecn), flatc(ecs))
+    )(e_b, e_b, e_b, rb, rb, rb, *coef_ops, ecf, ecf, ecf)
     return z_b.reshape(bsz, nz, ny, nx)

@@ -112,6 +112,7 @@ def test_fused3d_freezes_converged_images(rng):
 
 def test_band_z_for_small_volume():
     assert band_z_for(12, 10, 14) == 12
-    assert band_z_for(9, 10, 14) == 10
+    # bands are HALO_Z-block multiples (in-array halo BlockSpecs)
+    assert band_z_for(9, 10, 14) == 12
     # large xy planes force narrow bands
     assert band_z_for(256, 512, 512) <= 8
