@@ -57,9 +57,11 @@ def shard_band(ny_local: int, nx: int, itemsize: int = 4) -> int:
     if _window_fits(ny_local, nx, itemsize):
         return ny_local
     b = ny_local
-    while b % 2 == 0 and b > 2:
+    while b % 2 == 0 and b > HALO:
         b //= 2
-        if _window_fits(b, nx, itemsize):
+        if b >= HALO and _window_fits(b, nx, itemsize):
+            # bands below HALO rows can't carry their own halo slices
+            # (_banded_shard slices band-HALO rows of the previous band)
             return b
     return 0
 

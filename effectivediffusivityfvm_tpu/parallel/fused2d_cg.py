@@ -37,11 +37,14 @@ outer chunked-check protocol mirror solvers/multigrid._run_mgcg_fused
 last-iterate return); monitors psum over the spatial axis and the batched
 trip count reduces over the dp axis so the mesh stays in lockstep.
 
-Supported when every SHARDED level admits a fused window
-(fused2d.fused_shard_level_ok); the whole-block kernels run per level and
-local blocks past the VMEM window are left to the cycle's in-shard banding
-— the engine itself requires only LEVEL-0 whole-block residency
-(sharded_fused_cg_ok).  Reference hot-kernel analog: updateX_SOR
+Local blocks that fit a whole-shard VMEM window run the whole-block
+passes; LARGER blocks run the in-shard BANDED passes
+(_cg_steps_sharded_banded — the banded-engine kernels of
+ops/kernels/cgstep_tiled.py at grid (B, G) with shard-edge halos from the
+ring neighbors and the band-offset T2 coarse mapping of
+fused2d._t2b_kernel), so the engine covers every local size with a usable
+even band >= HALO (sharded_fused_cg_ok); deeper levels band or fall back
+inside the cycle recursion.  Reference hot-kernel analog: updateX_SOR
 (Deff2D.cuh:69-92) x SURVEY §2.6's SP row, one Krylov+multigrid iteration
 per three plane passes per shard.
 """
@@ -57,16 +60,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.kernels.vcycle_vmem import _dg, _diag_of, _nbsum, _sel
 from ..ops.kernels.vcycle_tiled import HALO, _smooth_w
-from .fused2d import (_coef_windows, _halo_strips, _v_cycle_sharded_fused_impl,
-                      _win2, shard_band)
+from . import fused2d
+from .fused2d import (_band_from_windows, _banded_shard, _coef_windows,
+                      _halo_strips, _v_cycle_sharded_fused_impl, _win2)
 
 __all__ = ["run_mgcg_sharded_fused", "sharded_fused_cg_ok"]
 
 
 def sharded_fused_cg_ok(ny_local: int, nx: int, itemsize: int = 4) -> bool:
-    """The fused CG passes hold one shard's fine window (~16 planes) in
-    VMEM; deeper levels may band or fall back inside the cycle recursion."""
-    return shard_band(ny_local, nx, itemsize) == ny_local and ny_local >= HALO
+    """Whether the fused whole-CG-iteration engine can run on this local
+    block: whole-window residency (~16 planes in VMEM) runs the
+    whole-block passes; larger blocks run the in-shard BANDED passes
+    (_cg_steps_sharded_banded) as long as a usable even band exists.
+    Deeper levels may band or fall back inside the cycle recursion."""
+    band = fused2d.shard_band(ny_local, nx, itemsize)
+    return band >= HALO and band % 2 == 0 and ny_local >= HALO
 
 
 def _pa_cg(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
@@ -174,6 +182,197 @@ def _pc_cg(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     def _skip():
         z_out[0] = jnp.zeros_like(z_out[0])
         rz_ref[b, 0] = 0.0
+
+
+def _pc_cg_banded(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb,
+                  ann, ans, dib, din, dis, ec_ref, z_out, rz_ref, *, H,
+                  omega, nu, over):
+    """In-shard BANDED pass C: T2 with the band-offset coarse mapping of
+    fused2d._t2b_kernel (band g's fine window row j maps to row
+    (g*H + j) // 2 of the halo-AUGMENTED local coarse plane) + the <r, z>
+    partial accumulated across the band grid."""
+    h = HALO
+    b, g = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        rz_ref[b, 0] = 0.0
+
+    @pl.when(live_ref[b, 0] > 0)
+    def _run():
+        ew = jnp.concatenate([en[0, 0], eb[0, 0], es_[0, 0]], axis=0)
+        rw = jnp.concatenate([rn[0, 0], rb[0, 0], rs[0, 0]], axis=0)
+        aww = jnp.concatenate([awn[0, 0], awb[0, 0], aws[0, 0]], axis=0)
+        anw = jnp.concatenate([ann[0, 0], anb[0, 0], ans[0, 0]], axis=0)
+        diw = jnp.concatenate([din[0, 0], dib[0, 0], dis[0, 0]], axis=0)
+
+        ec = ec_ref[0]                           # (ny_l//2 + HALO, nxc)
+        wy = H + 2 * h
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wy, ec.shape[0]), 0) \
+            + g * H
+        cols = jax.lax.broadcasted_iota(jnp.int32, (wy, ec.shape[0]), 1)
+        sel_y = ((rows // 2) == cols).astype(ec.dtype)
+        t = _dg(sel_y, ec, (((1,), (0,)), ((), ())), split="b")
+        nx = ew.shape[1]
+        px = _sel(ec.shape[1], nx, ec.dtype)
+        ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")
+
+        e = ew + over * ecw
+        for _ in range(nu):
+            e = _smooth_w(aww, anw, diw, e, rw, omega)
+        zb = e[h:h + H]
+        z_out[0, 0] = zb
+        rz_ref[b, 0] += jnp.sum(rb[0, 0] * zb)
+
+    @pl.when(live_ref[b, 0] <= 0)
+    def _skip():
+        z_out[0, 0] = jnp.zeros_like(z_out[0, 0])
+
+
+def _cg_steps_sharded_banded(sharded_levels, replicated_levels, coef_wins,
+                             x, r, p, rz, active, stop_sum, hi_sum, k, *,
+                             band, nu, omega, coarse_iters, over, axis_name,
+                             reduce_any, interpret):
+    """In-shard BANDED fused sharded CG iterations: local blocks past the
+    whole-window VMEM cap run each PCG iteration as the banded-engine
+    passes of ops/kernels/cgstep_tiled.py (grid (B, G), partials
+    accumulated across bands in SMEM) with shard-edge halos from the ring
+    neighbors (_banded_shard's ppermute) instead of zeros, and the coarse
+    correction from the sharded fused cycle recursion at level 1.  Same
+    contract as :func:`_cg_steps_sharded`; p's halo strips are maintained
+    analytically (pointwise update), so an iteration costs 5 HALO-strip
+    ppermutes (z, r@B, e, r@C, ec)."""
+    from ..ops.kernels.cgstep_tiled import _pass_a, _pass_b
+    from ..ops.kernels.vcycle_tiled import _band_specs
+
+    bsz, ny_l, nx = x.shape
+    g_total = ny_l // band
+    dtype = x.dtype
+    coefs = coef_wins[0]
+    cb = []
+    for i in range(0, 9, 3):
+        cb.extend(_band_from_windows(coefs[i], coefs[i + 1], coefs[i + 2],
+                                     band))
+
+    body, halo = _band_specs(g_total, band, nx)
+    cspec = [body, halo, halo]
+    scal_in = pl.BlockSpec((bsz, 1), lambda b, g: (0, 0),
+                           memory_space=pltpu.SMEM)
+    scal_out = scal_in
+    win_bytes = (band + 2 * HALO) * nx * dtype.itemsize
+    nxc = nx // 2
+    aug_rows = ny_l // 2 + HALO
+
+    def params(extra=0):
+        if interpret:
+            return {}
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(int(40 * win_bytes + extra), 16 << 20),
+                                 112 << 20))}
+
+    scal_shape = jax.ShapeDtypeStruct((bsz, 1), dtype)
+    band_shape = jax.ShapeDtypeStruct((bsz, g_total, band, nx), dtype)
+    rc_shape = jax.ShapeDtypeStruct((bsz, g_total, band // 2, nxc), dtype)
+    rc_spec = pl.BlockSpec((1, 1, band // 2, nxc),
+                           lambda b, g: (b, g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ec_spec = pl.BlockSpec((1, aug_rows, nxc), lambda b, g: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    pa = pl.pallas_call(
+        functools.partial(_pass_a, H=band),
+        grid=(bsz, g_total),
+        in_specs=[scal_in, scal_in] + cspec * 2 + cspec * 3,
+        out_shape=[band_shape, scal_shape],
+        out_specs=[body, scal_out],
+        interpret=interpret, **params())
+    pb_ = pl.pallas_call(
+        functools.partial(_pass_b, H=band, omega=omega, nu=nu),
+        grid=(bsz, g_total),
+        in_specs=[scal_in, scal_in, body] + cspec * 2 + cspec * 3,
+        out_shape=[band_shape, band_shape, band_shape, rc_shape, scal_shape],
+        out_specs=[body, body, body, rc_spec, scal_out],
+        interpret=interpret, **params())
+    pc = pl.pallas_call(
+        functools.partial(_pc_cg_banded, H=band, omega=omega, nu=nu,
+                          over=over),
+        grid=(bsz, g_total),
+        in_specs=[scal_in] + cspec * 2 + cspec * 3 + [ec_spec],
+        out_shape=[band_shape, scal_shape],
+        out_specs=[body, scal_out],
+        interpret=interpret,
+        **params(extra=4 * aug_rows * nxc * dtype.itemsize))
+
+    def psum_s(v):
+        return jax.lax.psum(v, axis_name)
+
+    def bandit(a):
+        return _banded_shard(a, band, axis_name)
+
+    def flat(a):
+        return a.reshape(bsz, ny_l, nx)
+
+    sr0 = psum_s(jnp.sum(jnp.abs(r), axis=(-2, -1)))
+    live0 = (active > 0) & (sr0 > stop_sum) & (sr0 < hi_sum)
+    zeros_s = jnp.zeros((), dtype)
+
+    def cond(c):
+        return (c[0] < k) & reduce_any(c[-1])
+
+    def body_fn(c):
+        (i, x, r, z, p, rz_p, rz_c, kdone, sr, live) = c
+        livef = live.astype(dtype)[:, None]
+        lv4 = live[:, None, None, None]
+        beta = jnp.where((i > 0) & live & (rz_p > 0),
+                         rz_c / jnp.where(rz_p > 0, rz_p, 1.0), zeros_s)
+        zb, zn, zs = bandit(z)
+        pb, pn, ps = bandit(p)
+        p_new_b, pap_l = pa(beta[:, None].astype(dtype), livef,
+                            zb, zn, zs, pb, pn, ps, *cb)
+        # p's halo strips update pointwise — no second exchange needed
+        bxp = beta[:, None, None, None]
+        pn2 = jnp.where(lv4, zn + bxp * pn, pn)
+        ps2 = jnp.where(lv4, zs + bxp * ps, ps)
+        pap = psum_s(pap_l[:, 0])
+        alpha = jnp.where(live & (pap > 0),
+                          rz_c / jnp.where(pap > 0, pap, 1.0), zeros_s)
+
+        rb, rn, rs = bandit(r)
+        x_new_b, r_new_b, e_bb, rc_b, sr_l = pb_(
+            alpha[:, None].astype(dtype), livef,
+            x.reshape(bsz, g_total, band, nx),
+            p_new_b, pn2, ps2, rb, rn, rs, *cb)
+
+        rc = rc_b.reshape(bsz, ny_l // 2, nxc)
+        e_c = _v_cycle_sharded_fused_impl(
+            sharded_levels, replicated_levels, coef_wins, rc, nu=nu,
+            omega=omega, coarse_iters=coarse_iters, over=over,
+            axis_name=axis_name, level=1, interpret=interpret)
+        ecn, ecs = _halo_strips(e_c, axis_name, HALO // 2)
+        ec_aug = jnp.concatenate([ecn, e_c, ecs], axis=1)
+
+        eb, en, es_ = bandit(flat(e_bb))
+        r_new = flat(r_new_b)
+        rb2, rn2, rs2 = bandit(r_new)
+        z_new_b, rz_l = pc(livef, eb, en, es_, rb2, rn2, rs2, *cb, ec_aug)
+        rz_out = psum_s(rz_l[:, 0])
+        sr_out = psum_s(sr_l[:, 0])
+
+        sr_new = jnp.where(live, sr_out, sr)
+        rz_new = jnp.where(live, rz_out, rz_c)
+        rz_p_new = jnp.where(live, rz_c, rz_p)
+        z_keep = jnp.where(live[:, None, None], flat(z_new_b), z)
+        kdone = kdone + live.astype(jnp.int32)
+        live = live & (sr_new > stop_sum) & (sr_new < hi_sum)
+        return (i + 1, flat(x_new_b), r_new, z_keep, flat(p_new_b),
+                rz_p_new, rz_new, kdone, sr_new, live)
+
+    init = (jnp.asarray(0, jnp.int32), x, r, p, p,
+            rz.astype(dtype), rz.astype(dtype),
+            jnp.zeros((bsz,), jnp.int32), sr0, live0)
+    out = jax.lax.while_loop(cond, body_fn, init)
+    (_i, x, r, _z, p, _rzp, rz_c, kdone, _sr, _live) = out
+    return x, r, p, rz_c, kdone
 
 
 def _spec(rows, nx):
@@ -371,10 +570,18 @@ def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
             omega=mg_omega, coarse_iters=coarse_iters, over=over,
             axis_name=axis_name, level=0, interpret=interpret)
 
+    band = fused2d.shard_band(ny_l, nx, dtype.itemsize)
+
     def cg_steps(x, r, p, rz, active, stop_s, hi_s, k):
-        return _cg_steps_sharded(
+        if band == ny_l:
+            return _cg_steps_sharded(
+                sharded_levels, replicated_levels, coef_wins, x, r, p, rz,
+                active, stop_s, hi_s, k, nu=nu, omega=mg_omega,
+                coarse_iters=coarse_iters, over=over, axis_name=axis_name,
+                reduce_any=reduce_any, interpret=interpret)
+        return _cg_steps_sharded_banded(
             sharded_levels, replicated_levels, coef_wins, x, r, p, rz,
-            active, stop_s, hi_s, k, nu=nu, omega=mg_omega,
+            active, stop_s, hi_s, k, band=band, nu=nu, omega=mg_omega,
             coarse_iters=coarse_iters, over=over, axis_name=axis_name,
             reduce_any=reduce_any, interpret=interpret)
 

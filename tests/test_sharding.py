@@ -261,6 +261,40 @@ def test_sharded_fused_in_shard_banding(rng, monkeypatch):
     np.testing.assert_allclose(zf, zx, atol=1e-5 * np.max(np.abs(zx)))
 
 
+def test_sharded_fused_cg_in_shard_banding(rng, monkeypatch):
+    """The in-shard BANDED fused whole-CG-iteration engine
+    (fused2d_cg._cg_steps_sharded_banded — local blocks past the
+    whole-window VMEM cap): force band < ny_local and solve end-to-end
+    against the XLA sharded path."""
+    from effectivediffusivityfvm_tpu.ops.flux import make_flux_spec
+    from effectivediffusivityfvm_tpu.parallel import fused2d
+    from effectivediffusivityfvm_tpu.parallel.halo import sharded_solve_mgcg
+
+    orig = fused2d.shard_band
+    monkeypatch.setattr(
+        fused2d, "shard_band",
+        lambda ny_l, nx, itemsize=4: (8 if ny_l >= 16
+                                      else orig(ny_l, nx, itemsize)))
+
+    ny, nx = 64, 32
+    d = np.exp(rng.uniform(0, np.log(1e3), (ny, nx))).astype(np.float32)
+    dj = jnp.asarray(d, jnp.float32)
+    c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+    spec = make_flux_spec(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float32) / nx, (ny, nx))
+    mesh = make_mesh(4, dp=1)
+    # tol distinct from the other fused tests: _mgcg_runner caches on its
+    # config, and this one must trace under the banding monkeypatch
+    kw = dict(tol=1.1e-5, max_iter=400, check_every=10,
+              criterion="relresidual", nu1=2, nu2=2)
+    ref = sharded_solve_mgcg(c, spec, x0, mesh, use_pallas=False, **kw)
+    got = sharded_solve_mgcg(c, spec, x0, mesh, use_pallas=True,
+                             pallas_interpret=True, **kw)
+    assert float(got.conv) <= 1.1e-5
+    np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-4)
+    assert abs(int(got.iters) - int(ref.iters)) <= 10
+
+
 def test_sharded_mgcg_2d_batched_dp_sp(rng):
     # batched sharded 2D MGCG (VERDICT r2 missing #5): dp=2 batch shards
     # x sp=4 row shards with per-image freezing.
