@@ -153,8 +153,15 @@ def main():
     # (vcycle_vmem._dg, f32-parity at half of HIGHEST's MXU passes;
     # identical iteration counts) — with cheap matmuls V(2,2) re-takes
     # V(3,3) (832 vs 792 in the split sweep).
+    # -> ~+1-3%: Chebyshev smoothing schedule (roots-of-T_2 weights for
+    # D^-1 A on [lam_max/3.5, lam_max], benchmarks/bench_cheby.py): cuts
+    # iteration sums ~5% at identical per-sweep cost on every medium
+    # tested (3 seeds x 64 images; worst image 39 -> 29 on one).  a=3
+    # (more aggressive) is UNSTABLE in fp32 blind windows — one image hit
+    # 118 iterations — so a=3.5 is the shipped point.
     kw = dict(tol=TOL, max_iter=3_000, check_every=20, criterion="residual",
-              min_size=8, coarse_iters=8, nu1=2, nu2=2, over=1.8)
+              min_size=8, coarse_iters=8, nu1=2, nu2=2, over=1.8,
+              mg_omega=(1.281, 0.5584))
 
     # warmup: compile + one full solve
     t0 = time.perf_counter()

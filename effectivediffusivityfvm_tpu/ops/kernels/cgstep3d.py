@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm3d import StencilCoeffs3D
-from .vcycle_vmem import _diag_of, x32_kernel
+from .vcycle_vmem import _diag_of, smoothing_schedule, x32_kernel
 from .vcycle3d import (HALO_Z, _coarse_specs3, _edge_flags, _hwin3, _nbsum3,
                        _prolong3_yx, _restrict3_yx, _smooth3, _specs3,
                        banded3, coarse_tail3)
@@ -101,9 +101,10 @@ def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         rw = _hwin3(rn, rb, rs, fst, lst) - alpha * q   # valid margin 1
         x_out[...] = xb[...] + alpha * pb[...]
 
-        e = omega * diw * rw
-        for _ in range(nu - 1):
-            e = _smooth3(aww, anw, auw, diw, e, rw, omega)
+        ws = smoothing_schedule(omega, nu)
+        e = ws[0] * diw * rw
+        for w in ws[1:]:
+            e = _smooth3(aww, anw, auw, diw, e, rw, w)
         res = rw - (dgw * e - _nbsum3(aww, anw, auw, e))  # margin nu+2 <= HZ
 
         rbnd = rw[h:h + BZ]
@@ -150,8 +151,8 @@ def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
             2 * nzh, ny, nx)
 
         e = ew + over * t
-        for _ in range(nu):
-            e = _smooth3(aww, anw, auw, diw, e, rw, omega)
+        for w in reversed(smoothing_schedule(omega, nu)):
+            e = _smooth3(aww, anw, auw, diw, e, rw, w)
         zb = e[h:h + BZ]
         z_out[...] = zb
         rz_ref[b, 0] += jnp.sum(rb[...] * zb)

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
-from .vcycle_vmem import _dg, _diag_of, _nbsum, _sel, x32_kernel
+from .vcycle_vmem import (_dg, _diag_of, _nbsum, _sel, smoothing_schedule,
+                          x32_kernel)
 from .vcycle_tiled import (HALO, _band_specs, _banded, _smooth_w, _win,
                            coarse_tail)
 
@@ -109,9 +110,10 @@ def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         rw = _win(rn, rb, rs) - alpha * q         # valid margin 1
         x_out[0, 0] = xb[0, 0] + alpha * pb[0, 0]
 
-        e = omega * diw * rw
-        for _ in range(nu - 1):
-            e = _smooth_w(aww, anw, diw, e, rw, omega)
+        ws = smoothing_schedule(omega, nu)
+        e = ws[0] * diw * rw
+        for w in ws[1:]:
+            e = _smooth_w(aww, anw, diw, e, rw, w)
         res = rw - (dgw * e - _nbsum(aww, anw, e))  # valid margin nu+2 <= HALO
 
         rbnd = rw[h:h + H]
@@ -167,8 +169,8 @@ def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
         ecw = _dg(t, sel_x, (((1,), (1,)), ((), ())), split="a")
 
         e = ew + over * ecw
-        for _ in range(nu):
-            e = _smooth_w(aww, anw, diw, e, rw, omega)
+        for w in reversed(smoothing_schedule(omega, nu)):
+            e = _smooth_w(aww, anw, diw, e, rw, w)
         zb = e[h:h + H]
         z_out[0, 0] = zb
         rz_ref[b, 0] += jnp.sum(rb[0, 0] * zb)

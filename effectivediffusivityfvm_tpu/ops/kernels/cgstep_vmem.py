@@ -71,7 +71,7 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
     # host-loop dispatch overhead.
     @pl.when(act > 0)
     def _run():
-        lvl = _load_levels(coef_refs, n_levels, omega)
+        lvl = _load_levels(coef_refs, n_levels, omega, nu)
         aw0, an0 = lvl[0][0], lvl[0][1]
         diag0 = lvl[0][3]
         # loop-invariant values built ONCE per launch (the while_loop closes

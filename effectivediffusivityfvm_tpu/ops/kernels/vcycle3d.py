@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm3d import StencilCoeffs3D
-from .vcycle_vmem import _dg, _diag_of, _sel, x32_kernel
+from .vcycle_vmem import (_dg, _diag_of, _sel, smoothing_schedule,
+                          x32_kernel)
 
 __all__ = [
     "HALO_Z", "v_cycle3d_pallas", "v_cycle3d_tiled", "vcycle3d_fits_vmem",
@@ -142,18 +143,19 @@ def _cycle3d_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
     """One V(nu, nu) cycle applied to the VALUE ``r0`` with every level's
     planes loaded (3D twin of vcycle_vmem._cycle_value)."""
     n_levels = len(shapes)
+    ws = smoothing_schedule(omega, nu)
 
-    def smooth(l, x, b):
+    def smooth(l, x, b, w):
         aw, an, au, di, _ = lvl[l]
-        return _smooth3(aw, an, au, di, x, b, omega)
+        return _smooth3(aw, an, au, di, x, b, w)
 
     rs = [r0]
     es = []
     for l in range(n_levels - 1):
         aw, an, au, di, dg = lvl[l]
-        e = omega * di * rs[l]
-        for _ in range(nu - 1):
-            e = smooth(l, e, rs[l])
+        e = ws[0] * di * rs[l]
+        for w in ws[1:]:
+            e = smooth(l, e, rs[l], w)
         res = rs[l] - (dg * e - _nbsum3(aw, an, au, e))
         es.append(e)
         rs.append(_restrict3(res, shapes[l + 1]))
@@ -161,12 +163,12 @@ def _cycle3d_value(r0, lvl, shapes, omega, nu, coarse_iters, over):
     lc = n_levels - 1
     e = jnp.zeros(shapes[lc], rs[lc].dtype)
     e = jax.lax.fori_loop(0, coarse_iters,
-                          lambda _, x: smooth(lc, x, rs[lc]), e)
+                          lambda _, x: smooth(lc, x, rs[lc], ws[-1]), e)
 
     for l in range(n_levels - 2, -1, -1):
         e = es[l] + over * _prolong3(e, shapes[l])
-        for _ in range(nu):
-            e = smooth(l, e, rs[l])
+        for w in reversed(ws):
+            e = smooth(l, e, rs[l], w)
     return e
 
 
@@ -330,9 +332,10 @@ def _t1_kernel3(rb, rn, rs, awb, awn, aws, anb, ann, ans, aub, aun, aus,
     diw = _hwin3(din, dib, dis, first, last)
     dgw = _diag_of(diw)
 
-    e = omega * diw * rw
-    for _ in range(nu - 1):
-        e = _smooth3(aww, anw, auw, diw, e, rw, omega)
+    ws = smoothing_schedule(omega, nu)
+    e = ws[0] * diw * rw
+    for w in ws[1:]:
+        e = _smooth3(aww, anw, auw, diw, e, rw, w)
     res = rw - (dgw * e - _nbsum3(aww, anw, auw, e))
 
     e_ref[...] = e[h:h + BZ]
@@ -364,8 +367,8 @@ def _t2_kernel3(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     t = jnp.broadcast_to(t[:, None], (nzh, 2, ny, nx)).reshape(2 * nzh, ny, nx)
 
     e = ew + over * t
-    for _ in range(nu):
-        e = _smooth3(aww, anw, auw, diw, e, rw, omega)
+    for w in reversed(smoothing_schedule(omega, nu)):
+        e = _smooth3(aww, anw, auw, diw, e, rw, w)
     z_ref[...] = e[h:h + BZ]
 
 

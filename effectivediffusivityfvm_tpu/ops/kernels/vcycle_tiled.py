@@ -56,8 +56,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm import StencilCoeffs
-from .vcycle_vmem import (_dg, _diag_of, _nbsum, _sel, v_cycle_pallas,
-                          vcycle_fits_vmem, x32_kernel)
+from .vcycle_vmem import (_dg, _diag_of, _nbsum, _sel, smoothing_schedule,
+                          v_cycle_pallas, vcycle_fits_vmem, x32_kernel)
 
 __all__ = ["v_cycle_tiled", "tiled_band", "tiled_pad_shape", "coarse_tail"]
 
@@ -104,9 +104,10 @@ def _pre_kernel(rb, rn, rs, awb, awn, aws, anb, ann, ans, dib, din, dis,
     diw = _win(din, dib, dis)
     dgw = _diag_of(diw)
 
-    e = omega * diw * rw
-    for _ in range(nu - 1):
-        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    ws = smoothing_schedule(omega, nu)
+    e = ws[0] * diw * rw
+    for w in ws[1:]:
+        e = _smooth_w(aww, anw, diw, e, rw, w)
     res = rw - (dgw * e - _nbsum(aww, anw, e))
 
     e_ref[0, 0] = e[h:h + H]
@@ -148,8 +149,8 @@ def _post_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     ecw = _dg(t, sel_x, (((1,), (1,)), ((), ())), split="a")   # (wy, nx)
 
     e = ew + over * ecw
-    for _ in range(nu):
-        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    for w in reversed(smoothing_schedule(omega, nu)):
+        e = _smooth_w(aww, anw, diw, e, rw, w)
     z_ref[0, 0] = e[h:h + H]
 
 

@@ -130,6 +130,22 @@ def x32_kernel(fn):
     return wrapped
 
 
+def smoothing_schedule(omega, nu):
+    """Per-sweep damping factors for ``nu`` smoothing sweeps: a scalar
+    replicates (classical fixed-damping Jacobi); a tuple of ``nu`` factors
+    is applied in order pre-smoothing and REVERSED post-smoothing (cycle
+    symmetry -> the MGCG preconditioner stays SPD), with the coarse solve
+    sweeping at the last (most-damped) factor.  Chebyshev schedules over
+    the smoother's target interval (benchmarks/bench_cheby.py: roots-of-T_k
+    weights for D^-1 A on [lam_max/alpha, lam_max]) cut bench-medium MGCG
+    iteration counts ~6-10% at alpha=3 vs fixed 0.8 — same cost/sweep."""
+    if isinstance(omega, (tuple, list)):
+        if len(omega) != nu:
+            raise ValueError(f"omega schedule length {len(omega)} != nu={nu}")
+        return tuple(float(w) for w in omega)
+    return (float(omega),) * nu
+
+
 def _nbsum(aw, an, x):
     """Neighbor sum for a symmetric stencil from the west/north planes only
     (same reconstruction as jacobi_vmem._kernel)."""
@@ -188,25 +204,29 @@ def _build_sels(shapes, dtype):
 def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over, sels=None):
     """One V(nu, nu) cycle applied to the VALUE ``r0``, with all level
     planes already loaded (``lvl[l] = (aw, an, dinv, diag, wdi)`` — diag and
-    the omega-folded inverse are reconstructed once per kernel launch in
-    ``_load_levels``, not per iteration).  Shared by the standalone
-    whole-cycle kernel and the fused CG-iteration kernel (cgstep_vmem.py),
-    which passes pre-built ``sels`` to hoist them out of its while_loop."""
+    the omega-folded inverses are reconstructed once per kernel launch in
+    ``_load_levels``, not per iteration; ``wdi`` maps each schedule weight
+    to its folded inverse).  ``omega`` may be a per-sweep schedule (see
+    smoothing_schedule): applied in order pre, reversed post, last weight
+    on the coarse solve.  Shared by the standalone whole-cycle kernel and
+    the fused CG-iteration kernel (cgstep_vmem.py), which passes pre-built
+    ``sels`` to hoist them out of its while_loop."""
     n_levels = len(shapes)
+    ws = smoothing_schedule(omega, nu)
     if sels is None:
         sels = _build_sels(shapes, r0.dtype)
 
-    def smooth(l, x, b):
+    def smooth(l, x, b, w):
         aw, an, _di, _dg, wdi = lvl[l]
-        return (1.0 - omega) * x + (b + _nbsum(aw, an, x)) * wdi
+        return (1.0 - w) * x + (b + _nbsum(aw, an, x)) * wdi[w]
 
     rs = [r0]
     es = []
     for l in range(n_levels - 1):
         aw, an, _di, dg, wdi = lvl[l]
-        e = wdi * rs[l]
-        for _ in range(nu - 1):
-            e = smooth(l, e, rs[l])
+        e = wdi[ws[0]] * rs[l]
+        for w in ws[1:]:
+            e = smooth(l, e, rs[l], w)
         res = rs[l] - (dg * e - _nbsum(aw, an, e))
         es.append(e)
         ry, rx = sels[l]
@@ -215,34 +235,37 @@ def _cycle_value(r0, lvl, shapes, omega, nu, coarse_iters, over, sels=None):
 
     lc = n_levels - 1
     e = jnp.zeros(shapes[lc], rs[lc].dtype)
-    e = jax.lax.fori_loop(0, coarse_iters, lambda _, x: smooth(lc, x, rs[lc]), e)
+    e = jax.lax.fori_loop(0, coarse_iters,
+                          lambda _, x: smooth(lc, x, rs[lc], ws[-1]), e)
 
     for l in range(n_levels - 2, -1, -1):
         ry, rx = sels[l]
         t = _dg(ry, e, (((0,), (0,)), ((), ())), split="b")
         ep = _dg(t, rx, (((1,), (0,)), ((), ())), split="a")
         e = es[l] + over * ep
-        for _ in range(nu):
-            e = smooth(l, e, rs[l])
+        for w in reversed(ws):
+            e = smooth(l, e, rs[l], w)
     return e
 
 
-def _load_levels(refs, n_levels, omega=None):
+def _load_levels(refs, n_levels, omega=None, nu=1):
     """refs = (aw_0, an_0, dinv_0, aw_1, ...) fine-to-coarse; returns
     ``(aw, an, dinv, diag, wdi)`` per level with the diagonal and the
-    omega-folded inverse (``wdi = omega * dinv``, the smoothers' only use
-    of the inverse) reconstructed once per launch, not per iteration."""
+    folded inverses (``wdi[w] = w * dinv``, the smoothers' only use of the
+    inverse — one plane per DISTINCT schedule weight) reconstructed once
+    per launch, not per iteration."""
+    ws = (None,) if omega is None else smoothing_schedule(omega, nu)
     out = []
     for l in range(n_levels):
         aw, an, di = (ref[0] for ref in refs[3 * l:3 * l + 3])
-        wdi = di if omega is None else omega * di
+        wdi = {w: (di if w is None else w * di) for w in set(ws)}
         out.append((aw, an, di, _diag_of(di), wdi))
     return out
 
 
 def _whole_kernel(r_ref, *refs, z_ref, shapes, omega, nu, coarse_iters, over):
     """The entire V(nu, nu) cycle in one VMEM residency."""
-    lvl = _load_levels(refs, len(shapes), omega)
+    lvl = _load_levels(refs, len(shapes), omega, nu)
     z_ref[0] = _cycle_value(r_ref[0], lvl, shapes, omega, nu, coarse_iters,
                             over)
 

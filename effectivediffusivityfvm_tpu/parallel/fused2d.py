@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import fvm
-from ..ops.kernels.vcycle_vmem import _dg, _diag_of, _nbsum, _sel
+from ..ops.kernels.vcycle_vmem import (_dg, _diag_of, _nbsum, _sel,
+                                       smoothing_schedule)
 from ..ops.kernels.vcycle_tiled import HALO, _pre_kernel, _smooth_w
 
 __all__ = ["v_cycle_sharded_fused", "fused_shard_level_ok", "shard_band"]
@@ -99,9 +100,10 @@ def _t1s_kernel(rb, rn, rs, awb, awn, aws, anb, ann, ans, dib, din, dis,
     diw = _win2(din, dib, dis)
     dgw = _diag_of(diw)
 
-    e = omega * diw * rw
-    for _ in range(nu - 1):
-        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    ws = smoothing_schedule(omega, nu)
+    e = ws[0] * diw * rw
+    for w in ws[1:]:
+        e = _smooth_w(aww, anw, diw, e, rw, w)
     res = rw - (dgw * e - _nbsum(aww, anw, e))
 
     e_ref[0] = e[h:h + H]
@@ -134,8 +136,8 @@ def _t2s_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")      # (wy, nx)
 
     e = ew + over * ecw
-    for _ in range(nu):
-        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    for w in reversed(smoothing_schedule(omega, nu)):
+        e = _smooth_w(aww, anw, diw, e, rw, w)
     z_ref[0] = e[h:h + H]
 
 
@@ -170,8 +172,8 @@ def _t2b_kernel(eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")      # (wy, nx)
 
     e = ew + over * ecw
-    for _ in range(nu):
-        e = _smooth_w(aww, anw, diw, e, rw, omega)
+    for w in reversed(smoothing_schedule(omega, nu)):
+        e = _smooth_w(aww, anw, diw, e, rw, w)
     z_ref[0, 0] = e[h:h + H]
 
 

@@ -58,7 +58,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.kernels.vcycle_vmem import _dg, _diag_of, _nbsum, _sel
+from ..ops.kernels.vcycle_vmem import (_dg, _diag_of, _nbsum, _sel,
+                                       smoothing_schedule)
 from ..ops.kernels.vcycle_tiled import HALO, _smooth_w
 from . import fused2d
 from .fused2d import (_band_from_windows, _banded_shard, _coef_windows,
@@ -121,9 +122,10 @@ def _pb_cg(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         rw = _win2(rn, rb, rs) - alpha * q       # valid margin 1
         x_out[0] = xb[0] + alpha * pb[0]
 
-        e = omega * diw * rw
-        for _ in range(nu - 1):
-            e = _smooth_w(aww, anw, diw, e, rw, omega)
+        ws = smoothing_schedule(omega, nu)
+        e = ws[0] * diw * rw
+        for w in ws[1:]:
+            e = _smooth_w(aww, anw, diw, e, rw, w)
         res = rw - (dgw * e - _nbsum(aww, anw, e))   # margin nu+2 <= HALO
 
         rbnd = rw[h:h + H]
@@ -172,8 +174,8 @@ def _pc_cg(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
         ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")
 
         e = ew + over * ecw
-        for _ in range(nu):
-            e = _smooth_w(aww, anw, diw, e, rw, omega)
+        for w in reversed(smoothing_schedule(omega, nu)):
+            e = _smooth_w(aww, anw, diw, e, rw, w)
         zb = e[h:h + H]
         z_out[0] = zb
         rz_ref[b, 0] = jnp.sum(rb[0] * zb)
@@ -218,8 +220,8 @@ def _pc_cg_banded(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb,
         ecw = _dg(t, px, (((1,), (0,)), ((), ())), split="a")
 
         e = ew + over * ecw
-        for _ in range(nu):
-            e = _smooth_w(aww, anw, diw, e, rw, omega)
+        for w in reversed(smoothing_schedule(omega, nu)):
+            e = _smooth_w(aww, anw, diw, e, rw, w)
         zb = e[h:h + H]
         z_out[0, 0] = zb
         rz_ref[b, 0] += jnp.sum(rb[0, 0] * zb)

@@ -31,6 +31,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import fvm
+from ..ops.kernels.vcycle_vmem import smoothing_schedule
 from ..ops.flux import BoundaryFluxSpec
 from ..solvers import driver
 from ..solvers.driver import SolveResult
@@ -262,8 +263,8 @@ def _v_cycle_sharded_2d(sharded_levels, replicated_levels, r, *, nu1=1, nu2=1,
 
     c = sharded_levels[level]
     e = jnp.zeros_like(r)
-    for _ in range(nu1):
-        e = _smooth_local_2d(c, e, r, omega, axis_name)
+    for w in smoothing_schedule(omega, nu1):
+        e = _smooth_local_2d(c, e, r, w, axis_name)
     res = r - (c.diag * e - _neighbor_sum_2d_local(c, e, axis_name))
     from ..solvers.multigrid import restrict
     r_c = restrict(res)
@@ -273,8 +274,8 @@ def _v_cycle_sharded_2d(sharded_levels, replicated_levels, r, *, nu1=1, nu2=1,
                               axis_name=axis_name, level=level + 1)
     from ..solvers.multigrid import prolong
     e = e + over * prolong(e_c)
-    for _ in range(nu2):
-        e = _smooth_local_2d(c, e, r, omega, axis_name)
+    for w in reversed(smoothing_schedule(omega, nu2)):
+        e = _smooth_local_2d(c, e, r, w, axis_name)
     return e
 
 

@@ -27,6 +27,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import fvm3d
+from ..ops.kernels.vcycle_vmem import smoothing_schedule
 from ..ops.fvm3d import FluxSpec3D, StencilCoeffs3D
 from ..solvers import driver
 from ..solvers.driver import SolveResult
@@ -324,8 +325,8 @@ def _v_cycle_sharded(sharded_levels, replicated_levels, r, *, nu1=1, nu2=1,
 
     c = sharded_levels[level]
     e = jnp.zeros_like(r)
-    for _ in range(nu1):
-        e = _smooth_local(c, e, r, omega, axis_name)
+    for w in smoothing_schedule(omega, nu1):
+        e = _smooth_local(c, e, r, w, axis_name)
     res = r - (c.diag * e - _neighbor_sum_local(c, e, axis_name))
     from ..solvers.solvers3d import restrict_3d
     r_c = restrict_3d(res)
@@ -335,8 +336,8 @@ def _v_cycle_sharded(sharded_levels, replicated_levels, r, *, nu1=1, nu2=1,
                            axis_name=axis_name, level=level + 1)
     from ..solvers.solvers3d import prolong_3d
     e = e + over * prolong_3d(e_c)
-    for _ in range(nu2):
-        e = _smooth_local(c, e, r, omega, axis_name)
+    for w in reversed(smoothing_schedule(omega, nu2)):
+        e = _smooth_local(c, e, r, w, axis_name)
     return e
 
 

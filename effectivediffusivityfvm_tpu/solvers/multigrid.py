@@ -48,6 +48,7 @@ import jax.numpy as jnp
 
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
+from ..ops.kernels.vcycle_vmem import smoothing_schedule
 from .driver import SolveResult, resolve_check_every
 from .pcg import run_pcg
 
@@ -182,6 +183,11 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
     Returns the correction e on the finest level's (unpadded) shape.  The
     recursion is over a static Python list -> fully unrolled under jit.
 
+    ``omega``: scalar damping, or a tuple of nu1 (== nu2) per-sweep
+    factors (Chebyshev schedule; applied in order pre, reversed post —
+    symmetry, see :func:`smoothing_schedule`).  The coarse solve always
+    sweeps at the schedule's last (most-damped) factor.
+
     ``over`` is the coarse-grid over-correction factor: piecewise-constant
     aggregation systematically over-stiffens the Galerkin coarse operator
     (energy of the injected correction is underestimated ~2x per level for a
@@ -194,16 +200,18 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
     c = levels[level]
     shp = c.diag.shape
     r_lvl = _pad_to(r, shp)
+    om1 = smoothing_schedule(omega, nu1)
+    om2 = smoothing_schedule(omega, nu2)
 
     if level == len(levels) - 1:
         e = jnp.zeros_like(r_lvl)
         for _ in range(coarse_iters):
-            e = _smooth(c, e, r_lvl, omega)
+            e = _smooth(c, e, r_lvl, om1[-1])
         return e[..., :r.shape[-2], :r.shape[-1]]
 
     e = jnp.zeros_like(r_lvl)
-    for _ in range(nu1):
-        e = _smooth(c, e, r_lvl, omega)
+    for w in om1:
+        e = _smooth(c, e, r_lvl, w)
 
     # residual of the correction equation, padded to the 2x coarse shape
     # (odd level dims get a zero-padded dummy row/col) and restricted
@@ -215,8 +223,8 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
                   coarse_iters=coarse_iters, level=level + 1, over=over)
     e = e + over * prolong(e_c)[..., :shp[-2], :shp[-1]]
 
-    for _ in range(nu2):
-        e = _smooth(c, e, r_lvl, omega)
+    for w in reversed(om2):
+        e = _smooth(c, e, r_lvl, w)
     return e[..., :r.shape[-2], :r.shape[-1]]
 
 

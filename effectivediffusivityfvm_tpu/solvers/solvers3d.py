@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import fvm3d
 from ..ops.fvm3d import StencilCoeffs3D, boundary_deff_3d
+from ..ops.kernels.vcycle_vmem import smoothing_schedule
 from . import driver
 from .driver import SolveResult
 from .pcg import run_pcg
@@ -155,15 +156,17 @@ def v_cycle_3d(levels, r, *, nu1=1, nu2=1, omega=0.8, coarse_iters=32,
     shp = c.diag.shape
     r_lvl = _pad_to_3d(r, shp)
 
+    om1 = smoothing_schedule(omega, nu1)
+    om2 = smoothing_schedule(omega, nu2)
     if level == len(levels) - 1:
         e = jnp.zeros_like(r_lvl)
         for _ in range(coarse_iters):
-            e = _smooth_3d(c, e, r_lvl, omega)
+            e = _smooth_3d(c, e, r_lvl, om1[-1])
         return e[..., :r.shape[-3], :r.shape[-2], :r.shape[-1]]
 
     e = jnp.zeros_like(r_lvl)
-    for _ in range(nu1):
-        e = _smooth_3d(c, e, r_lvl, omega)
+    for w in om1:
+        e = _smooth_3d(c, e, r_lvl, w)
 
     res = r_lvl - (c.diag * e - fvm3d.neighbor_sum_3d(c, e))
     nxt = levels[level + 1].diag.shape
@@ -172,8 +175,8 @@ def v_cycle_3d(levels, r, *, nu1=1, nu2=1, omega=0.8, coarse_iters=32,
                      coarse_iters=coarse_iters, level=level + 1, over=over)
     e = e + over * prolong_3d(e_c)[..., :shp[-3], :shp[-2], :shp[-1]]
 
-    for _ in range(nu2):
-        e = _smooth_3d(c, e, r_lvl, omega)
+    for w in reversed(om2):
+        e = _smooth_3d(c, e, r_lvl, w)
     return e[..., :r.shape[-3], :r.shape[-2], :r.shape[-1]]
 
 

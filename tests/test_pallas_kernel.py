@@ -376,6 +376,24 @@ class TestFusedCGStep:
                                    rtol=1e-6, atol=1e-9)
         assert np.all(np.abs(np.asarray(got.iters) - np.asarray(ref.iters)) <= 10)
 
+    def test_fused_chebyshev_schedule_matches_xla(self, rng):
+        """Per-sweep omega schedules (smoothing_schedule): fused engine ==
+        XLA engine with the same tuple, and tuple(w, w) == scalar w."""
+        solve, coeffs, spec, x0 = self._problem(rng)
+        kw = dict(tol=1e-9, max_iter=500, check_every=10,
+                  criterion="residual", nu1=2, nu2=2)
+        om = (1.281, 0.5584)
+        ref = solve(coeffs, spec, x0, use_pallas=False, mg_omega=om, **kw)
+        got = solve(coeffs, spec, x0, use_pallas="cgstep", mg_omega=om,
+                    pallas_interpret=True, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-9)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-8)
+        fixed = solve(coeffs, spec, x0, use_pallas=False, mg_omega=0.8, **kw)
+        tup = solve(coeffs, spec, x0, use_pallas=False, mg_omega=(0.8, 0.8),
+                    **kw)
+        np.testing.assert_array_equal(np.asarray(fixed.x), np.asarray(tup.x))
+
     def test_fused_freezes_converged_images(self, rng):
         solve, coeffs, spec, x0 = self._problem(rng, bsz=3, contrast=1e6)
         kw = dict(tol=1e-8, max_iter=800, check_every=10,
