@@ -46,7 +46,15 @@ import numpy as np
 # export DEFF_MM_PREC to override.
 os.environ.setdefault("DEFF_MM_PREC", "split2")
 
-BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "64"))
+# Batch 256 is the measured throughput knee on v5e (benchmarks/
+# bench_batch_scaling.py): 64 -> 882, 128 -> 1058, 256 -> 1164 solves/s on
+# the same chip, and replicating the SAME 64 images 4x reproduces the gain
+# (1156), so it is mechanical amortization of the ~30 ms fixed per-launch
+# cost (dispatch + monitor/refresh + relay fetch), not easier marginal
+# images.  Batch 512 exceeds the 1 MB SMEM budget of the fused kernel's
+# per-image scalar windows (6 x (B,1) arrays at 512 B/row) for a projected
+# +7% — not worth the kernel rework; 256 is the shipped point.
+BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "256"))
 SIZE = 512
 TOL = 1e-6
 POROSITY = 0.65          # fluid fraction (percolating)
