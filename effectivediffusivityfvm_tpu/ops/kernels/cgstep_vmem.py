@@ -57,11 +57,15 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
     n_levels = len(shapes)
     coef_refs = rest[:3 * n_levels]
     xo_ref, ro_ref, po_ref, rzo_ref, ko_ref = rest[3 * n_levels:]
-    # scalars ride SMEM as full (B, 1) arrays (Mosaic's block divisibility
-    # rule rejects (1, 1) blocks); the TPU grid is sequential, so indexing
-    # by program id is race-free for both reads and the rz write-back
+    # scalars ride SMEM as full (1, B) arrays (Mosaic's block divisibility
+    # rule rejects (1, 1) blocks).  ROW-major layout matters: SMEM windows
+    # pad each row to 512 B, so (B, 1) costs 512 B/image — 6 such windows
+    # SMEM-OOM at B = 512 (1.5 MB > the 1 MB scoped budget) — while (1, B)
+    # is one padded row regardless of B.  The TPU grid is sequential, so
+    # indexing by program id is race-free for both reads and the rz
+    # write-back.
     pid = pl.program_id(0)
-    act = active_ref[pid, 0]
+    act = active_ref[0, pid]
 
     # The TPU grid is SEQUENTIAL: total kernel time is the sum of per-image
     # work, so predicating the whole body on the freeze flag makes frozen
@@ -86,8 +90,8 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
         # it refreshes r from the true residual, so an optimistic recurrence
         # exit is re-opened on the next launch with >= 1 iteration of
         # progress (no livelock).
-        stop = stop_ref[pid, 0]
-        hi = hi_ref[pid, 0]
+        stop = stop_ref[0, pid]
+        hi = hi_ref[0, pid]
 
         def matvec(v):
             return diag0 * v - _nbsum(aw0, an0, v)
@@ -112,21 +116,21 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
 
         r0 = r_ref[0]
         init = (jnp.asarray(0, jnp.int32), x_ref[0], r0, p_ref[0],
-                rz_ref[pid, 0], jnp.sum(jnp.abs(r0)))
+                rz_ref[0, pid], jnp.sum(jnp.abs(r0)))
         i, x, r, p, rz, _sr = jax.lax.while_loop(cond, one, init)
         xo_ref[0] = x
         ro_ref[0] = r
         po_ref[0] = p
-        rzo_ref[pid, 0] = rz
-        ko_ref[pid, 0] = i
+        rzo_ref[0, pid] = rz
+        ko_ref[0, pid] = i
 
     @pl.when(act <= 0)
     def _skip():
         xo_ref[0] = x_ref[0]
         ro_ref[0] = r_ref[0]
         po_ref[0] = p_ref[0]
-        rzo_ref[pid, 0] = rz_ref[pid, 0]
-        ko_ref[pid, 0] = 0
+        rzo_ref[0, pid] = rz_ref[0, pid]
+        ko_ref[0, pid] = 0
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
@@ -159,12 +163,16 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
 
     img = pl.BlockSpec((1, py, px), lambda b, kk: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    scal = pl.BlockSpec((bsz, 1), lambda b, kk: (0, 0),
+    # (1, B) row layout: SMEM windows pad rows to 512 B, so the transposed
+    # (B, 1) form costs 512 B/image and OOMs the 1 MB scoped SMEM budget at
+    # B = 512 across the 6 scalar windows; one row is B-independent.
+    scal = pl.BlockSpec((1, bsz), lambda b, kk: (0, 0),
                         memory_space=pltpu.SMEM)
+    row = lambda a: a.reshape(1, bsz)
 
     in_specs = [scal, scal, scal, scal, img, img, img]
-    operands = [active, rz.astype(x.dtype), stop.astype(x.dtype),
-                hi.astype(x.dtype), x, r, p]
+    operands = [row(active), row(rz.astype(x.dtype)),
+                row(stop.astype(x.dtype)), row(hi.astype(x.dtype)), x, r, p]
     for c, (sy, sx) in zip(levels, shapes):
         spec_l = pl.BlockSpec((1, sy, sx), lambda b, kk: (b, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -194,10 +202,10 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     xo, ro, po, rzo, ko = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 3
-        + [jax.ShapeDtypeStruct((bsz, 1), x.dtype),
-           jax.ShapeDtypeStruct((bsz, 1), jnp.int32)],
+        + [jax.ShapeDtypeStruct((1, bsz), x.dtype),
+           jax.ShapeDtypeStruct((1, bsz), jnp.int32)],
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
     )(jnp.asarray(k, jnp.int32).reshape(1), *operands)
-    return xo, ro, po, rzo, ko
+    return xo, ro, po, rzo.reshape(bsz, 1), ko.reshape(bsz, 1)
