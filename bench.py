@@ -51,9 +51,10 @@ os.environ.setdefault("DEFF_MM_PREC", "split2")
 # the same chip, and replicating the SAME 64 images 4x reproduces the gain
 # (1156), so it is mechanical amortization of the ~30 ms fixed per-launch
 # cost (dispatch + monitor/refresh + relay fetch), not easier marginal
-# images.  Batch 512 exceeds the 1 MB SMEM budget of the fused kernel's
-# per-image scalar windows (6 x (B,1) arrays at 512 B/row) for a projected
-# +7% — not worth the kernel rework; 256 is the shipped point.
+# images.  Batch 512 runs (after the (1,B) SMEM scalar transpose in
+# cgstep_vmem.py) but measures 1150 — the amortization tail (+~3%
+# projected) loses to harder marginal images on this medium (a batch's
+# wall tracks its SLOWEST image; max iters 31 -> 43); 256 ships.
 BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "256"))
 SIZE = 512
 TOL = 1e-6
