@@ -23,11 +23,22 @@ exit / divergence-tripwire / freeze semantics as the in-VMEM kernel's
 while_loop (a live image leaves the loop the moment its recurrence
 sum|r| crosses stop or hi; frozen images pass their bands through).
 
+Halo reads are IN-ARRAY (the 2D twin of vcycle3d's banded specs): fields
+stay flattened (B*G*band, nx) and the north/south halo BlockSpecs alias
+the same array with clamped index maps — the last HALO rows of band g-1
+and the first HALO rows of band g+1.  Global-edge bands zero-mask their
+(arbitrarily aliased) halo blocks in-kernel (:func:`_hwin2`).  No halo
+strips are materialized between passes: the old per-iteration XLA concat
+glue (6 field-halo set builds per CG iteration) is gone.  The sharded
+engine (parallel/fused2d_cg.py) reuses these kernels with SEPARATE halo
+arrays carrying real ppermute'd neighbor-shard rows — it passes
+``g_total=None`` (the default) so no edge masking is applied.
+
 Window-validity: q needs one neighbor row; nu smoothing sweeps + the
 level residual need nu+1 more — HALO = 8 rows cover nu <= 4 with margin
 (see vcycle_tiled.py's invariant).
 
-HBM traffic per iteration ~22 fine-plane passes (A: 6, B: 9.25, C: 6.25
+HBM traffic per iteration ~21 fine-plane passes (A: 6, B: 8.5, C: 6.25
 + the 4x-smaller coarse tail) vs ~24 streamed by XLA at a fraction of the
 bandwidth.  Reference hot-kernel analog: updateX_SOR (Deff2D.cuh:69-92)
 at its shipped demo-image scale, one full Krylov+multigrid iteration per
@@ -47,8 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fvm import StencilCoeffs
 from .vcycle_vmem import (_dg, _diag_of, _nbsum, _sel, smoothing_schedule,
                           x32_kernel)
-from .vcycle_tiled import (HALO, _band_specs, _banded, _smooth_w, _win,
-                           coarse_tail)
+from .vcycle_tiled import HALO, _smooth_w, coarse_tail
 
 __all__ = ["cg_steps_tiled"]
 
@@ -58,12 +68,46 @@ def _scal_spec(bsz):
                         memory_space=pltpu.SMEM)
 
 
+def _rd(ref):
+    """Shape-agnostic band read: (1, 1, H, nx) or (H, nx) ref -> (H, nx)."""
+    a = ref[...]
+    return a.reshape(a.shape[-2], a.shape[-1])
+
+
+def _edges2(g_total):
+    """Edge flags for the in-array halo masking, or (None, None) for the
+    separate-halo-array mode (``g_total=None`` — the sharded engine's real
+    ppermute'd neighbor-shard rows pass through unmasked).  Must be called
+    at the TOP level of a kernel body: ``pl.program_id`` inside a
+    ``pl.when`` branch is not substituted by the interpret-mode HLO
+    interpreter (it only rewrites top-level kernel primitives)."""
+    if g_total is None:
+        return None, None
+    g = pl.program_id(1)
+    return g == 0, g == g_total - 1
+
+
+def _hwin2(n_ref, b_ref, s_ref, first, last):
+    """Masked window builder.  With edge flags set (in-array halo specs),
+    the north/south blocks of global-edge bands alias arbitrary in-array
+    rows (clamped index maps in :func:`_specs2`) and must read as the zero
+    fill the old separate halo arrays carried; ``jnp.where`` (not a 0/1
+    multiply) so an aliased Inf cannot poison the window as NaN."""
+    nb, sb = _rd(n_ref), _rd(s_ref)
+    if first is not None:
+        nb = jnp.where(first, jnp.zeros_like(nb), nb)
+        sb = jnp.where(last, jnp.zeros_like(sb), sb)
+    return jnp.concatenate([nb, _rd(b_ref), sb], axis=0)
+
+
 def _pass_a(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
-            anb, ann, ans, dib, din, dis, p_out, pap_ref, *, H):
+            anb, ann, ans, dib, din, dis, p_out, pap_ref, *, H,
+            g_total=None):
     """p = z + beta*p_old on the full window; q = A p on the interior;
     accumulate pap."""
     h = HALO
     b, g = pl.program_id(0), pl.program_id(1)
+    fst, lst = _edges2(g_total)
 
     @pl.when(g == 0)
     def _init():
@@ -72,27 +116,29 @@ def _pass_a(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
     @pl.when(live_ref[b, 0] > 0)
     def _run():
         beta = beta_ref[b, 0]
-        pw = _win(zn, zb, zs) + beta * _win(pn, pb, ps)
-        aww = _win(awn, awb, aws)
-        anw = _win(ann, anb, ans)
-        dgw = _diag_of(_win(din, dib, dis))
+        pw = (_hwin2(zn, zb, zs, fst, lst)
+              + beta * _hwin2(pn, pb, ps, fst, lst))
+        aww = _hwin2(awn, awb, aws, fst, lst)
+        anw = _hwin2(ann, anb, ans, fst, lst)
+        dgw = _diag_of(_hwin2(din, dib, dis, fst, lst))
         q = dgw * pw - _nbsum(aww, anw, pw)       # valid off the window edge
         pbnd = pw[h:h + H]
-        p_out[0, 0] = pbnd
+        p_out[...] = pbnd.reshape(p_out.shape)
         pap_ref[b, 0] += jnp.sum(pbnd * q[h:h + H])
 
     @pl.when(live_ref[b, 0] <= 0)
     def _skip():
-        p_out[0, 0] = pb[0, 0]
+        p_out[...] = pb[...].reshape(p_out.shape)
 
 
 def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
             anb, ann, ans, dib, din, dis, x_out, r_out, e_out, rc_out,
-            sr_ref, *, H, omega, nu):
+            sr_ref, *, H, omega, nu, g_total=None):
     """x += alpha p; r -= alpha q (q recomputed in-window); T1 of the tiled
     cycle on the fresh r; accumulate sum|r|."""
     h = HALO
     b, g = pl.program_id(0), pl.program_id(1)
+    fst, lst = _edges2(g_total)
 
     @pl.when(g == 0)
     def _init():
@@ -101,14 +147,14 @@ def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
     @pl.when(live_ref[b, 0] > 0)
     def _run():
         alpha = alpha_ref[b, 0]
-        pw = _win(pn, pb, ps)
-        aww = _win(awn, awb, aws)
-        anw = _win(ann, anb, ans)
-        diw = _win(din, dib, dis)
+        pw = _hwin2(pn, pb, ps, fst, lst)
+        aww = _hwin2(awn, awb, aws, fst, lst)
+        anw = _hwin2(ann, anb, ans, fst, lst)
+        diw = _hwin2(din, dib, dis, fst, lst)
         dgw = _diag_of(diw)
         q = dgw * pw - _nbsum(aww, anw, pw)       # valid margin 1
-        rw = _win(rn, rb, rs) - alpha * q         # valid margin 1
-        x_out[0, 0] = xb[0, 0] + alpha * pb[0, 0]
+        rw = _hwin2(rn, rb, rs, fst, lst) - alpha * q   # valid margin 1
+        x_out[...] = (_rd(xb) + alpha * _rd(pb)).reshape(x_out.shape)
 
         ws = smoothing_schedule(omega, nu)
         e = ws[0] * diw * rw
@@ -117,29 +163,32 @@ def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         res = rw - (dgw * e - _nbsum(aww, anw, e))  # valid margin nu+2 <= HALO
 
         rbnd = rw[h:h + H]
-        r_out[0, 0] = rbnd
-        e_out[0, 0] = e[h:h + H]
+        r_out[...] = rbnd.reshape(r_out.shape)
+        e_out[...] = e[h:h + H].reshape(e_out.shape)
         sr_ref[b, 0] += jnp.sum(jnp.abs(rbnd))
         resb = res[h:h + H]
         ry = _sel(H // 2, H, res.dtype)
         rx = _sel(resb.shape[1] // 2, resb.shape[1], res.dtype)
         t = _dg(ry, resb, (((1,), (0,)), ((), ())), split="b")
-        rc_out[0, 0] = _dg(t, rx, (((1,), (1,)), ((), ())), split="a")
+        rc_out[...] = _dg(t, rx, (((1,), (1,)), ((), ())),
+                          split="a").reshape(rc_out.shape)
 
     @pl.when(live_ref[b, 0] <= 0)
     def _skip():
-        x_out[0, 0] = xb[0, 0]
-        r_out[0, 0] = rb[0, 0]
-        e_out[0, 0] = jnp.zeros_like(e_out[0, 0])
-        rc_out[0, 0] = jnp.zeros_like(rc_out[0, 0])
+        x_out[...] = xb[...].reshape(x_out.shape)
+        r_out[...] = rb[...].reshape(r_out.shape)
+        e_out[...] = jnp.zeros_like(e_out[...])
+        rc_out[...] = jnp.zeros_like(rc_out[...])
 
 
 def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
-            dib, din, dis, ec_ref, z_out, rz_ref, *, H, omega, nu, over):
+            dib, din, dis, ec_ref, z_out, rz_ref, *, H, omega, nu, over,
+            g_total=None):
     """T2 of the tiled cycle (prolong + add + post-smooth) producing z;
     accumulate rz = <r, z> (same prolongation as vcycle_tiled._post_kernel)."""
     h = HALO
     b, g = pl.program_id(0), pl.program_id(1)
+    fst, lst = _edges2(g_total)
 
     @pl.when(g == 0)
     def _init():
@@ -147,11 +196,11 @@ def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
 
     @pl.when(live_ref[b, 0] > 0)
     def _run():
-        ew = _win(en, eb, es_)
-        rw = _win(rn, rb, rs)
-        aww = _win(awn, awb, aws)
-        anw = _win(ann, anb, ans)
-        diw = _win(din, dib, dis)
+        ew = _hwin2(en, eb, es_, fst, lst)
+        rw = _hwin2(rn, rb, rs, fst, lst)
+        aww = _hwin2(awn, awb, aws, fst, lst)
+        anw = _hwin2(ann, anb, ans, fst, lst)
+        diw = _hwin2(din, dib, dis, fst, lst)
 
         ec = ec_ref[0]
         nyc, nxc = ec.shape
@@ -172,22 +221,36 @@ def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
         for w in reversed(smoothing_schedule(omega, nu)):
             e = _smooth_w(aww, anw, diw, e, rw, w)
         zb = e[h:h + H]
-        z_out[0, 0] = zb
-        rz_ref[b, 0] += jnp.sum(rb[0, 0] * zb)
+        z_out[...] = zb.reshape(z_out.shape)
+        rz_ref[b, 0] += jnp.sum(_rd(rb) * zb)
 
     @pl.when(live_ref[b, 0] <= 0)
     def _skip():
-        z_out[0, 0] = jnp.zeros_like(z_out[0, 0])
+        z_out[...] = jnp.zeros_like(z_out[...])
 
 
-def _halos(xb):
-    """Banded (B, G, band, nx) -> (north, south) (B, G, HALO, nx) halo
-    arrays (zeros beyond the global edges)."""
-    bsz, g, band, nx = xb.shape
-    zero = jnp.zeros((bsz, 1, HALO, nx), xb.dtype)
-    north = jnp.concatenate([zero, xb[:, :-1, band - HALO:]], axis=1)
-    south = jnp.concatenate([xb[:, 1:, :HALO], zero], axis=1)
-    return north, south
+def _specs2(bsz, g_total, band, nx):
+    """Body + IN-ARRAY halo specs over a flattened (B*G*band, nx) array.
+
+    Halo blocks are (HALO, nx) slices of the SAME array: the north halo of
+    band g is the last HALO rows of band g-1 (block index (b*G+g)*q - 1 in
+    HALO units, q = band/HALO), the south halo the first HALO rows of band
+    g+1.  Edge bands clamp into valid range and the kernels zero-mask them
+    (:func:`_hwin2`).  Requires band % HALO == 0."""
+    q = band // HALO
+    n_blocks = bsz * g_total * q
+    body = pl.BlockSpec((band, nx), lambda b, g: (b * g_total + g, 0),
+                        memory_space=pltpu.VMEM)
+    north = pl.BlockSpec(
+        (HALO, nx),
+        lambda b, g: (jnp.maximum((b * g_total + g) * q - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    south = pl.BlockSpec(
+        (HALO, nx),
+        lambda b, g: (jnp.minimum((b * g_total + g + 1) * q, n_blocks - 1),
+                      0),
+        memory_space=pltpu.VMEM)
+    return body, north, south
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
@@ -209,20 +272,21 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     (``active`` = 0) images pass through untouched.
     """
     bsz, py, px = x.shape
-    if py % band or band % 2 or nu > HALO - 2:
-        raise ValueError(f"cg_steps_tiled: py={py} % band={band}, band even,"
-                         f" nu<={HALO - 2} required")
+    if py % band or band % HALO or nu > HALO - 2:
+        raise ValueError(f"cg_steps_tiled: py={py} % band={band}, band a "
+                         f"multiple of {HALO}, nu<={HALO - 2} required")
     c0 = levels[0]
     g_total = py // band
     dtype = x.dtype
 
-    awb, awn, aws = _banded(c0.a_w, band)
-    anb, ann, ans = _banded(c0.a_n, band)
-    dib, din, dis = _banded(c0.diag_inv, band)
-    coef_ops = [awb, awn, aws, anb, ann, ans, dib, din, dis]
+    def fl(a):
+        return a.reshape(bsz * py, px)
 
-    body, halo = _band_specs(g_total, band, px)
-    coef_specs = [body, halo, halo] * 3
+    aw, an_, di = fl(c0.a_w), fl(c0.a_n), fl(c0.diag_inv)
+    coef_ops = [aw, aw, aw, an_, an_, an_, di, di, di]
+
+    body, north, south = _specs2(bsz, g_total, band, px)
+    coef_specs = [body, north, south] * 3
     scal = _scal_spec(bsz)
     win_bytes = (band + 2 * HALO) * px * dtype.itemsize
     py1, px1 = levels[1].diag.shape[-2], levels[1].diag.shape[-1]
@@ -234,10 +298,11 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
             vmem_limit_bytes=int(26 * win_bytes + extra))}
 
     scal_shape = jax.ShapeDtypeStruct((bsz, 1), dtype)
-    band_shape = jax.ShapeDtypeStruct((bsz, g_total, band, px), dtype)
-    rc_shape = jax.ShapeDtypeStruct((bsz, g_total, band // 2, px // 2), dtype)
-    rc_spec = pl.BlockSpec((1, 1, band // 2, px // 2),
-                           lambda b, g: (b, g, 0, 0),
+    flat_shape = jax.ShapeDtypeStruct((bsz * py, px), dtype)
+    rc_shape = jax.ShapeDtypeStruct((bsz * g_total * (band // 2), px // 2),
+                                    dtype)
+    rc_spec = pl.BlockSpec((band // 2, px // 2),
+                           lambda b, g: (b * g_total + g, 0),
                            memory_space=pltpu.VMEM)
     ec_spec = pl.BlockSpec((1, py1, px1), lambda b, g: (b, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -245,28 +310,30 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
                             memory_space=pltpu.SMEM)
 
     pa = pl.pallas_call(
-        functools.partial(_pass_a, H=band),
+        functools.partial(_pass_a, H=band, g_total=g_total),
         grid=(bsz, g_total),
-        in_specs=[scal, scal] + [body, halo, halo] * 2 + coef_specs,
-        out_shape=[band_shape, scal_shape],
+        in_specs=[scal, scal] + [body, north, south] * 2 + coef_specs,
+        out_shape=[flat_shape, scal_shape],
         out_specs=[body, scal_out],
         interpret=interpret,
         **params(),
     )
     pb_ = pl.pallas_call(
-        functools.partial(_pass_b, H=band, omega=omega, nu=nu),
+        functools.partial(_pass_b, H=band, omega=omega, nu=nu,
+                          g_total=g_total),
         grid=(bsz, g_total),
-        in_specs=[scal, scal, body] + [body, halo, halo] * 2 + coef_specs,
-        out_shape=[band_shape, band_shape, band_shape, rc_shape, scal_shape],
+        in_specs=[scal, scal, body] + [body, north, south] * 2 + coef_specs,
+        out_shape=[flat_shape, flat_shape, flat_shape, rc_shape, scal_shape],
         out_specs=[body, body, body, rc_spec, scal_out],
         interpret=interpret,
         **params(),
     )
     pc = pl.pallas_call(
-        functools.partial(_pass_c, H=band, omega=omega, nu=nu, over=over),
+        functools.partial(_pass_c, H=band, omega=omega, nu=nu, over=over,
+                          g_total=g_total),
         grid=(bsz, g_total),
-        in_specs=[scal] + [body, halo, halo] * 2 + coef_specs + [ec_spec],
-        out_shape=[band_shape, scal_shape],
+        in_specs=[scal] + [body, north, south] * 2 + coef_specs + [ec_spec],
+        out_shape=[flat_shape, scal_shape],
         out_specs=[body, scal_out],
         interpret=interpret,
         **params(extra=4 * py1 * px1 * dtype.itemsize),
@@ -276,9 +343,6 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     hi_ = hi[:, 0]
     zeros_s = jnp.zeros((), dtype)
 
-    def to_b(a):
-        return a.reshape(bsz, g_total, band, px)
-
     sr0 = jnp.sum(jnp.abs(r), axis=(-2, -1))
     live0 = (active[:, 0] > 0) & (sr0 > stop_) & (sr0 < hi_)
 
@@ -286,45 +350,42 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
         return (c[0] < k) & jnp.any(c[-1])
 
     def body_fn(c):
-        (i, xb, rb, pb, zb, rz_p, rz_c, kdone, sr, live) = c
+        (i, xf, rf, pf, zf, rz_p, rz_c, kdone, sr, live) = c
         livef = live.astype(dtype)[:, None]
         beta = jnp.where((i > 0) & live & (rz_p > 0),
                          rz_c / jnp.where(rz_p > 0, rz_p, 1.0), zeros_s)
-        zn, zs = _halos(zb)
-        pn, ps = _halos(pb)
         p_new, pap = pa(beta[:, None].astype(dtype), livef,
-                        zb, zn, zs, pb, pn, ps, *coef_ops)
+                        zf, zf, zf, pf, pf, pf, *coef_ops)
         pap = pap[:, 0]
         alpha = jnp.where(live & (pap > 0),
                           rz_c / jnp.where(pap > 0, pap, 1.0), zeros_s)
-        pn2, ps2 = _halos(p_new)
-        rn, rs = _halos(rb)
-        x_new, r_new, e_b, rc_b, sr_out = pb_(
-            alpha[:, None].astype(dtype), livef, xb,
-            p_new, pn2, ps2, rb, rn, rs, *coef_ops)
+        x_new, r_new, e_b, rc_f, sr_out = pb_(
+            alpha[:, None].astype(dtype), livef, xf,
+            p_new, p_new, p_new, rf, rf, rf, *coef_ops)
+        rc_b = rc_f.reshape(bsz, g_total, band // 2, px // 2)
         e_c = coarse_tail(levels, rc_b, omega=omega, nu=nu,
                           coarse_iters=coarse_iters, over=over,
                           interpret=interpret)
-        en, es_ = _halos(e_b)
-        rn2, rs2 = _halos(r_new)
-        z_new, rz_out = pc(livef, e_b, en, es_, r_new, rn2, rs2,
+        z_new, rz_out = pc(livef, e_b, e_b, e_b, r_new, r_new, r_new,
                            *coef_ops, e_c)
         sr_new = jnp.where(live, sr_out[:, 0], sr)
         rz_new = jnp.where(live, rz_out[:, 0], rz_c)
         rz_p_new = jnp.where(live, rz_c, rz_p)
-        z_keep = jnp.where(live[:, None, None, None], z_new, zb)
+        z_keep = jnp.where(live[:, None, None],
+                           z_new.reshape(bsz, py, px),
+                           zf.reshape(bsz, py, px)).reshape(bsz * py, px)
         kdone = kdone + live.astype(jnp.int32)
         live = live & (sr_new > stop_) & (sr_new < hi_)
         return (i + 1, x_new, r_new, p_new, z_keep, rz_p_new, rz_new,
                 kdone, sr_new, live)
 
-    init = (jnp.asarray(0, jnp.int32), to_b(x), to_b(r), to_b(p), to_b(p),
+    init = (jnp.asarray(0, jnp.int32), fl(x), fl(r), fl(p), fl(p),
             rz[:, 0].astype(dtype), rz[:, 0].astype(dtype),
             jnp.zeros((bsz,), jnp.int32), sr0, live0)
     out = jax.lax.while_loop(cond, body_fn, init)
-    (_i, xb, rb, pb, _zb, _rzp, rz_c, kdone, _sr, _live) = out
+    (_i, xf, rf, pf, _zf, _rzp, rz_c, kdone, _sr, _live) = out
 
-    def flat(a):
+    def unfl(a):
         return a.reshape(bsz, py, px)
 
-    return (flat(xb), flat(rb), flat(pb), rz_c[:, None], kdone[:, None])
+    return (unfl(xf), unfl(rf), unfl(pf), rz_c[:, None], kdone[:, None])

@@ -70,10 +70,10 @@ def tiled_band(ny: int, nx: int, itemsize: int = 4) -> int:
     planes incl. Mosaic double-buffering) stays under the VMEM budget,
     capped so a small grid is one band instead of mostly padding."""
     budget = 100 * 1024 * 1024
-    cap = ny + ny % 2
-    for band in (512, 256, 128, 64, 32, 16, 8):
-        if 22 * (band + 2 * HALO) * nx * itemsize < budget:
-            return min(band, cap) if band >= cap else band
+    cap = -(-ny // HALO) * HALO      # HALO-multiple: the banded CG engine's
+    for band in (512, 256, 128, 64, 32, 16, 8):   # in-array halo specs
+        if 22 * (band + 2 * HALO) * nx * itemsize < budget:   # index in
+            return min(band, cap) if band >= cap else band    # HALO units
     return 8
 
 
