@@ -24,10 +24,20 @@ repeated best-iterate restart — measured with diagonal-CG at segment=50 on
 a contrast-1e5 image — so pair compaction with mgcg, and use
 ``utils.checkpoint.checkpointed_solve`` (protocol carry) for sweep-solver
 protocols.
+
+The limit-cycle hazard is also guarded at runtime (not just by the
+pipeline's cg/mgcg gate): because each segment warm-starts from the
+best-residual iterate, an image's conv is monotone non-increasing across
+segments, so ``stall_segments`` consecutive segments with NO strict
+improvement can only be the limit cycle (or a genuinely stalled solver —
+either way further segments are wasted).  Such images are retired with a
+``ConvergenceWarning``-style ``RuntimeWarning`` and their honest conv
+(> tol) in the returned SolveResult.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -58,11 +68,16 @@ def solve_batched_compacted(
     check_every: int = 0,
     criterion: str = "residual",
     min_bucket: int = 8,
+    stall_segments: int = 3,
     **kw,
 ) -> SolveResult:
     """Run ``solve_fn`` (any batched framework solver) with inter-segment
     compaction.  ``segment=0`` picks ``8 x check_every`` (or 80).
-    Returns the full-batch SolveResult in original image order."""
+    Returns the full-batch SolveResult in original image order.
+
+    ``stall_segments``: retire (with a RuntimeWarning) any image whose conv
+    shows no strict improvement over this many consecutive full segments —
+    the warm-restart limit cycle documented above.  0 disables the guard."""
     bsz = x0.shape[0]
     ck = check_every or 10
     segment = segment or 8 * ck
@@ -75,6 +90,9 @@ def solve_batched_compacted(
     deff = np.zeros((bsz,), np.float64)
     conv = np.full((bsz,), np.inf)
     iters = np.zeros((bsz,), np.int64)
+    best_conv = np.full((bsz,), np.inf)
+    stalled = np.zeros((bsz,), np.int64)
+    n_retired = 0
     active = list(range(bsz))
 
     while active and int(iters[active].min(initial=0)) < max_iter:
@@ -101,9 +119,29 @@ def solve_batched_compacted(
             deff[i] = float(sub_deff[k])
             done = (int(sub_iters[k]) < seg) or (
                 np.isfinite(sub_conv[k]) and abs(sub_conv[k]) <= tol)
+            if not done and int(sub_iters[k]) >= seg and stall_segments:
+                c = abs(conv[i])
+                if np.isfinite(c) and c < best_conv[i]:
+                    best_conv[i] = c
+                    stalled[i] = 0
+                else:
+                    stalled[i] += 1
+                    if stalled[i] >= stall_segments:
+                        n_retired += 1
+                        done = True
             if not done and iters[i] < max_iter:
                 still.append(i)
         active = still
+
+    if n_retired:
+        warnings.warn(
+            f"solve_batched_compacted retired {n_retired} image(s) whose conv "
+            f"showed no improvement over {stall_segments} consecutive segments "
+            "— the warm-restart limit cycle of weakly-preconditioned solvers "
+            "(see solvers/compact.py docstring); their conv in the returned "
+            "SolveResult is honest (> tol). Use mgcg, or "
+            "utils.checkpoint.checkpointed_solve for sweep-solver protocols.",
+            RuntimeWarning, stacklevel=2)
 
     return SolveResult(
         x=x_store,

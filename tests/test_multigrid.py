@@ -201,3 +201,52 @@ class TestCompaction:
         # keeps iterating alone
         it = np.asarray(got.iters)
         assert it[3] > 4 * it[0]
+
+    def test_stall_guard_retires_limit_cycle(self):
+        """The runtime guard for the warm-restart limit cycle: a solver whose
+        conv never improves across full segments is retired after
+        ``stall_segments`` segments with a RuntimeWarning instead of burning
+        iterations to max_iter (compact.py docstring hazard)."""
+        import warnings as _warnings
+
+        from effectivediffusivityfvm_tpu.solvers.compact import solve_batched_compacted
+        from effectivediffusivityfvm_tpu.solvers.driver import SolveResult
+
+        bsz, n = 2, 8
+        x0 = jnp.zeros((bsz, n, n))
+        dummy = jnp.ones((bsz,))
+        calls = []
+
+        def cycling_solve(coeffs, spec, x, *, tol, max_iter, check_every,
+                          criterion, **kw):
+            # uses its full segment every time, conv frozen above tol
+            nb = x.shape[0]
+            calls.append(nb)
+            return SolveResult(
+                x=x,
+                deff=jnp.full((nb,), 0.5),
+                conv=jnp.full((nb,), 1e-3),
+                iters=jnp.full((nb,), max_iter, jnp.int32),
+            )
+
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            got = solve_batched_compacted(
+                cycling_solve, dummy, dummy, x0, tol=1e-9, max_iter=10_000,
+                segment=20, check_every=10, min_bucket=2, stall_segments=3)
+        assert any(issubclass(w.category, RuntimeWarning)
+                   and "limit cycle" in str(w.message) for w in rec)
+        it = np.asarray(got.iters)
+        # improvement seen once (inf -> 1e-3), then 3 stalled segments
+        assert np.all(it == 4 * 20), it
+        assert np.all(np.asarray(got.conv) == 1e-3)  # honest, > tol
+
+        # stall_segments=0 disables the guard: runs to max_iter
+        calls.clear()
+        with _warnings.catch_warnings(record=True) as rec0:
+            _warnings.simplefilter("always")
+            got0 = solve_batched_compacted(
+                cycling_solve, dummy, dummy, x0, tol=1e-9, max_iter=100,
+                segment=20, check_every=10, min_bucket=2, stall_segments=0)
+        assert not any(issubclass(w.category, RuntimeWarning) for w in rec0)
+        assert np.all(np.asarray(got0.iters) == 100)
