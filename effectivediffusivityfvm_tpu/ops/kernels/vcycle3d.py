@@ -410,6 +410,85 @@ def _specs3(bsz, g_total, band, ny, nx):
     return body, north, south
 
 
+def _d_halo_specs3(bsz, g_total, band, ny, nx):
+    """Second-ring halo specs for the matrix-free D window: (north2,
+    south2) (HALO_Z, ny, nx) blocks at index g*q - 2 / (g+1)*q + 1 in
+    HALO_Z units (one block beyond the _specs3 halos), clamped globally.
+    The kernels zero-mask the clamped aliases (_dwin5)."""
+    q = band // HALO_Z
+    n_blocks = bsz * g_total * q
+    north2 = pl.BlockSpec(
+        (HALO_Z, ny, nx),
+        lambda b, g: (jnp.maximum((b * g_total + g) * q - 2, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    south2 = pl.BlockSpec(
+        (HALO_Z, ny, nx),
+        lambda b, g: (jnp.minimum((b * g_total + g + 1) * q + 1,
+                                  n_blocks - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    return north2, south2
+
+
+def _dwin5(db, dn2, dn1, ds1, ds2, *, q, g_total):
+    """Double-halo D window (BZ + 4*HALO_Z, ny, nx) from five in-array
+    blocks, zero-masking the blocks that fall outside this image's
+    z-extent (D outside the domain is 0, so the recomputed face
+    conductances vanish at the global z edges exactly like assembly's
+    zero-plane concatenate, fvm3d.fvm_coefficients_3d)."""
+    g = pl.program_id(1)
+    f1 = g == 0
+    l1 = g == g_total - 1
+    f2 = g * q < 2                                  # n2 block index < 0
+    l2 = (g + 1) * q + 1 > g_total * q - 1          # s2 block past image
+
+    def m(flag, ref):
+        v = ref[...]
+        return jnp.where(flag, jnp.zeros_like(v), v)
+
+    return jnp.concatenate(
+        [m(f2, dn2), m(f1, dn1), db[...], m(l1, ds1), m(l2, ds2)], axis=0)
+
+
+def _coeffs_from_dwin(dw, *, fx, fy, fz, bcf, nxr):
+    """Recompute the level-0 stencil windows (aw, an, au, diag_inv), each
+    (BZ + 2*HALO_Z, ny, nx), from a double-halo D window — term-for-term
+    the assembly of fvm3d.fvm_coefficients_3d (harmonic_mean's reciprocal
+    form included, so a zero D on either side blocks the face), with the
+    Dirichlet diag add at the REAL x-boundary columns 0 and ``nxr - 1``
+    (trailing x padding carries D = 0 -> zero coefficients + zero bc,
+    i.e. fully decoupled rows; their diag is 0 instead of pad_op_3d's
+    stored identity 1, which is equivalent because every field is 0
+    there).  fx/fy/fz/bcf are the assembly's dy*dz/dx-style Python-float
+    factors for the UNPADDED domain shape."""
+    h = HALO_Z
+
+    def hm(a, b):
+        return 2.0 / (1.0 / a + 1.0 / b)
+
+    hx = hm(dw[:, :, :-1], dw[:, :, 1:]) * fx
+    hy = hm(dw[:, :-1, :], dw[:, 1:, :]) * fy
+    hz = hm(dw[:-1], dw[1:]) * fz
+
+    zx = jnp.zeros_like(dw[:, :, :1])
+    zy = jnp.zeros_like(dw[:, :1, :])
+    zz = jnp.zeros_like(dw[:1])
+    aw = jnp.concatenate([zx, hx], axis=-1)
+    ae = jnp.concatenate([hx, zx], axis=-1)
+    an = jnp.concatenate([zy, hy], axis=-2)
+    as_ = jnp.concatenate([hy, zy], axis=-2)
+    au = jnp.concatenate([zz, hz], axis=0)
+    ad = jnp.concatenate([hz, zz], axis=0)
+
+    diag = aw + ae + an + as_ + au + ad
+    col = jax.lax.broadcasted_iota(jnp.int32, diag.shape, 2)
+    diag = diag + jnp.where((col == 0) | (col == nxr - 1), dw * bcf,
+                            jnp.zeros_like(dw))
+    di = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
+
+    sl = slice(h, dw.shape[0] - h)
+    return aw[sl], an[sl], au[sl], di[sl]
+
+
 def _coarse_specs3(bsz, g_total, band, ny1, nx1):
     """Body + in-array halo specs for the banded coarse correction
     (B*G*(band//2), ny1, nx1): same construction as _specs3 at half
