@@ -26,13 +26,22 @@ a contrast-1e5 image — so pair compaction with mgcg, and use
 protocols.
 
 The limit-cycle hazard is also guarded at runtime (not just by the
-pipeline's cg/mgcg gate): because each segment warm-starts from the
-best-residual iterate, an image's conv is monotone non-increasing across
-segments, so ``stall_segments`` consecutive segments with NO strict
-improvement can only be the limit cycle (or a genuinely stalled solver —
-either way further segments are wasted).  Such images are retired with a
-``ConvergenceWarning``-style ``RuntimeWarning`` and their honest conv
-(> tol) in the returned SolveResult.
+pipeline's cg/mgcg gate): ``stall_segments`` consecutive FULL segments in
+which an image's conv never beats the best value seen so far retire that
+image with a ``ConvergenceWarning``-style ``RuntimeWarning`` and its honest
+conv (> tol) in the returned SolveResult.  Two deliberate limits on the
+guard (it is a heuristic, not an invariant):
+
+  * conv is NOT monotone across segments — ``run_pcg`` returns the LAST
+    iterate for healthy images (solvers/pcg.py; best-iterate restarts are
+    themselves the limit-cycle cause), so the guard compares against the
+    best conv EVER seen and only counts segments that fail to improve it;
+  * the guard applies only to ``criterion="residual"/"relresidual"``.
+    The reference-protocol ``"deff"`` monitor is a percent-CHANGE of the
+    flux functional — it oscillates by construction near convergence and
+    says nothing about distance to the solution, so "no new best" there
+    would retire slowly-but-genuinely-converging images.  Under
+    ``criterion="deff"`` (the pipeline default) the guard is inert.
 """
 
 from __future__ import annotations
@@ -76,11 +85,15 @@ def solve_batched_compacted(
     Returns the full-batch SolveResult in original image order.
 
     ``stall_segments``: retire (with a RuntimeWarning) any image whose conv
-    shows no strict improvement over this many consecutive full segments —
-    the warm-restart limit cycle documented above.  0 disables the guard."""
+    never improves on its best seen value over this many consecutive FULL
+    segments — the warm-restart limit cycle documented above.  0 disables
+    the guard; it is also inert unless ``criterion`` is ``"residual"`` or
+    ``"relresidual"`` (the ``"deff"`` percent-change monitor oscillates by
+    construction and would false-positive; see module docstring)."""
     bsz = x0.shape[0]
     ck = check_every or 10
     segment = segment or 8 * ck
+    guard_on = bool(stall_segments) and criterion in ("residual", "relresidual")
 
     # fields stay ON DEVICE for the whole run: only the per-image scalars
     # (iters/conv/deff) cross to the host between segments — fetching the
@@ -119,7 +132,10 @@ def solve_batched_compacted(
             deff[i] = float(sub_deff[k])
             done = (int(sub_iters[k]) < seg) or (
                 np.isfinite(sub_conv[k]) and abs(sub_conv[k]) <= tol)
-            if not done and int(sub_iters[k]) >= seg and stall_segments:
+            # stall bookkeeping only on FULL segments: a truncated final
+            # segment (seg < segment near max_iter) stopping early is the
+            # iteration budget, not the limit cycle
+            if not done and int(sub_iters[k]) >= seg and guard_on and seg == segment:
                 c = abs(conv[i])
                 if np.isfinite(c) and c < best_conv[i]:
                     best_conv[i] = c

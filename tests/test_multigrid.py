@@ -250,3 +250,46 @@ class TestCompaction:
                 segment=20, check_every=10, min_bucket=2, stall_segments=0)
         assert not any(issubclass(w.category, RuntimeWarning) for w in rec0)
         assert np.all(np.asarray(got0.iters) == 100)
+
+        # criterion="deff" (oscillating percent-change monitor): guard inert
+        # — a flat conv says nothing about progress there, so the image runs
+        # to max_iter instead of being retired (ADVICE r3 medium)
+        calls.clear()
+        with _warnings.catch_warnings(record=True) as recd:
+            _warnings.simplefilter("always")
+            gotd = solve_batched_compacted(
+                cycling_solve, dummy, dummy, x0, tol=1e-9, max_iter=100,
+                segment=20, check_every=10, min_bucket=2, stall_segments=3,
+                criterion="deff")
+        assert not any(issubclass(w.category, RuntimeWarning) for w in recd)
+        assert np.all(np.asarray(gotd.iters) == 100)
+
+    def test_stall_guard_ignores_truncated_final_segment(self):
+        """A truncated final segment (max_iter nearly exhausted) must not
+        count toward the stall tally nor emit the limit-cycle warning."""
+        import warnings as _warnings
+
+        from effectivediffusivityfvm_tpu.solvers.compact import solve_batched_compacted
+        from effectivediffusivityfvm_tpu.solvers.driver import SolveResult
+
+        bsz, n = 2, 8
+        x0 = jnp.zeros((bsz, n, n))
+        dummy = jnp.ones((bsz,))
+
+        def cycling_solve(coeffs, spec, x, *, tol, max_iter, check_every,
+                          criterion, **kw):
+            nb = x.shape[0]
+            return SolveResult(
+                x=x, deff=jnp.full((nb,), 0.5), conv=jnp.full((nb,), 1e-3),
+                iters=jnp.full((nb,), max_iter, jnp.int32))
+
+        # max_iter=50, segment=20: segments run 20, 20, then a TRUNCATED 10.
+        # Tally after full segments is 1 (first segment sets best, second
+        # stalls); the truncated third must not push it to stall_segments=2.
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter("always")
+            got = solve_batched_compacted(
+                cycling_solve, dummy, dummy, x0, tol=1e-9, max_iter=50,
+                segment=20, check_every=10, min_bucket=2, stall_segments=2)
+        assert not any(issubclass(w.category, RuntimeWarning) for w in rec)
+        assert np.all(np.asarray(got.iters) == 50)
