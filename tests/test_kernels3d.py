@@ -110,6 +110,77 @@ def test_fused3d_freezes_converged_images(rng):
         assert int(got.iters[k]) == int(solo.iters[0])
 
 
+def test_coeffs_from_dwin_matches_assembly(rng):
+    """Matrix-free level-0 window recompute (vcycle3d._coeffs_from_dwin)
+    vs fvm_coefficients_3d + pad_op_3d windows, for every band of a
+    2-image batch with padding on all three axes — including the global
+    z-edge bands (zero-masked halo blocks), the cross-image block clamps,
+    the padded x columns (no Dirichlet add past the real nx), and the
+    padded voxels where the recompute's diag_inv is 0 instead of the
+    stored identity's 1 (equivalent: every field is 0 there)."""
+    from effectivediffusivityfvm_tpu.ops.kernels.vcycle3d import (
+        HALO_Z, _coeffs_from_dwin)
+
+    bsz, nzr, nyr, nxr = 2, 13, 9, 11
+    band = 2 * HALO_Z                                   # q = 2
+    pz, py, px = pad_shape_3d(nzr, nyr, nxr, band)
+    d = np.exp(rng.uniform(np.log(1e-3), np.log(1e3), (bsz, nzr, nyr, nxr)))
+    dj = jnp.asarray(d, jnp.float32)
+    coeffs = jax.vmap(fvm3d.fvm_coefficients_3d, in_axes=(0, None, None))(
+        dj, 0.0, 1.0)
+    cp = pad_op_3d(coeffs, pz - nzr, py - nyr, px - nxr)
+    d_pad = jnp.pad(dj, [(0, 0), (0, pz - nzr), (0, py - nyr),
+                         (0, px - nxr)])
+
+    dx, dy, dz = 1.0 / nxr, 1.0 / nyr, 1.0 / nzr
+    fx, fy, fz = dy * dz / dx, dx * dz / dy, dx * dy / dz
+    bcf = dy * dz / (dx / 2.0)
+
+    G, q, h = pz // band, band // HALO_Z, HALO_Z
+    n_blocks = bsz * G * q
+    flat_d = np.asarray(d_pad).reshape(bsz * pz, py, px)
+    # padded-voxel mask on the flattened layout (z pad is per-image)
+    zloc = np.arange(bsz * pz) % pz
+    padmask = (zloc[:, None, None] >= nzr) | \
+        (np.arange(py)[None, :, None] >= nyr) | \
+        (np.arange(px)[None, None, :] >= nxr)
+
+    stored = {k: np.asarray(getattr(cp, k)).reshape(bsz * pz, py, px)
+              for k in ("a_w", "a_n", "a_u", "diag_inv")}
+
+    def hblock(arr, flag, i):
+        v = arr[min(max(i, 0), n_blocks - 1) * h:][:h]
+        return np.zeros_like(v) if flag else v
+
+    for b in range(bsz):
+        for g in range(G):
+            base = (b * G + g) * q
+            f1, l1 = g == 0, g == G - 1
+            f2 = g * q < 2
+            l2 = (g + 1) * q + 1 > G * q - 1
+            body = flat_d[base * h:(base + q) * h]
+            dw = np.concatenate([
+                hblock(flat_d, f2, base - 2), hblock(flat_d, f1, base - 1),
+                body, hblock(flat_d, l1, base + q),
+                hblock(flat_d, l2, base + q + 1)], axis=0)
+            aw, an, au, di = (np.asarray(v) for v in _coeffs_from_dwin(
+                jnp.asarray(dw), fx=fx, fy=fy, fz=fz, bcf=bcf, nxr=nxr))
+
+            def swin(arr):
+                return np.concatenate([
+                    hblock(arr, f1, base - 1), arr[base * h:(base + q) * h],
+                    hblock(arr, l1, base + q)], axis=0)
+
+            np.testing.assert_array_equal(aw, swin(stored["a_w"]))
+            np.testing.assert_array_equal(an, swin(stored["a_n"]))
+            np.testing.assert_array_equal(au, swin(stored["a_u"]))
+            pm = swin(padmask.astype(np.float32)) > 0
+            di_exp = np.where(pm, 0.0, swin(stored["diag_inv"]))
+            np.testing.assert_array_equal(di, di_exp.astype(np.float32))
+            # the documented equivalence: stored identity 1, recompute 0
+            assert np.all(swin(stored["diag_inv"])[pm] == 1.0)
+
+
 def test_band_z_for_small_volume():
     assert band_z_for(12, 10, 14) == 12
     # bands are HALO_Z-block multiples (in-array halo BlockSpecs)
