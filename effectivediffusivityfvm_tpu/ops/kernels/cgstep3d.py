@@ -35,9 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fvm3d import StencilCoeffs3D
 from .vcycle_vmem import _diag_of, smoothing_schedule, x32_kernel
-from .vcycle3d import (HALO_Z, _coarse_specs3, _edge_flags, _hwin3, _nbsum3,
-                       _prolong3_yx, _restrict3_yx, _smooth3, _specs3,
-                       banded3, coarse_tail3)
+from .vcycle3d import (HALO_Z, _coarse_specs3, _coeffs_from_dwin,
+                       _d_halo_specs3, _dwin5, _edge_flags, _hwin3,
+                       _mf_flags, _nbsum3, _prolong3_yx, _restrict3_yx,
+                       _smooth3, _specs3, banded3, coarse_tail3)
 
 __all__ = ["cg_steps3d_tiled"]
 
@@ -47,12 +48,39 @@ def _scal_spec(bsz):
                         memory_space=pltpu.SMEM)
 
 
-def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
-             anb, ann, ans, aub, aun, aus, dib, din, dis, p_out, pap_ref,
-             *, BZ, g_total):
+def _cwins(crefs, flags, *, mf, geom):
+    """Level-0 stencil windows (aw, an, au, diag_inv), each
+    (BZ + 2*HALO_Z, ny, nx): stored-coefficient ``_hwin3`` loads (12 refs),
+    or the MATRIX-FREE recompute from a double-halo D window (5 refs of the
+    same flattened D array; ``geom = (fx, fy, fz, bcf, nxr)`` — the
+    assembly factors for the UNPADDED domain).  The recompute is bit-exact
+    vs the stored windows on real voxels (tests/test_kernels3d.py) and cuts
+    the per-pass coefficient HBM reads 4 windows -> ~1.3 window-equivalents
+    of D."""
+    f1, l1, f2, l2 = flags
+    if mf:
+        db, dn2, dn1, ds1, ds2 = crefs
+        dw = _dwin5(db, dn2, dn1, ds1, ds2, f1=f1, l1=l1, f2=f2, l2=l2)
+        fx, fy, fz, bcf, nxr = geom
+        return _coeffs_from_dwin(dw, fx=fx, fy=fy, fz=fz, bcf=bcf, nxr=nxr)
+    awb, awn, aws, anb, ann, ans, aub, aun, aus, dib, din, dis = crefs
+    return (_hwin3(awn, awb, aws, f1, l1), _hwin3(ann, anb, ans, f1, l1),
+            _hwin3(aun, aub, aus, f1, l1), _hwin3(din, dib, dis, f1, l1))
+
+
+def _all_flags(qblk, g_total):
+    fst, lst = _edge_flags(g_total)
+    f2, l2 = _mf_flags(qblk, g_total)
+    return fst, lst, f2, l2
+
+
+def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, *rest,
+             BZ, g_total, qblk, mf, geom):
+    crefs, (p_out, pap_ref) = rest[:-2], rest[-2:]
     h = HALO_Z
     b, g = pl.program_id(0), pl.program_id(1)
-    fst, lst = _edge_flags(g_total)
+    flags = _all_flags(qblk, g_total)
+    fst, lst = flags[0], flags[1]
 
     @pl.when(g == 0)
     def _init():
@@ -63,10 +91,8 @@ def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
         beta = beta_ref[b, 0]
         pw = (_hwin3(zn, zb, zs, fst, lst)
               + beta * _hwin3(pn, pb, ps, fst, lst))
-        aww = _hwin3(awn, awb, aws, fst, lst)
-        anw = _hwin3(ann, anb, ans, fst, lst)
-        auw = _hwin3(aun, aub, aus, fst, lst)
-        dgw = _diag_of(_hwin3(din, dib, dis, fst, lst))
+        aww, anw, auw, diw = _cwins(crefs, flags, mf=mf, geom=geom)
+        dgw = _diag_of(diw)
         q = dgw * pw - _nbsum3(aww, anw, auw, pw)     # valid margin 1
         pbnd = pw[h:h + BZ]
         p_out[...] = pbnd
@@ -77,12 +103,14 @@ def _pass_a3(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
         p_out[...] = pb[...]
 
 
-def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
-             anb, ann, ans, aub, aun, aus, dib, din, dis, x_out, r_out,
-             e_out, rc_out, sr_ref, *, BZ, nyc, nxc, omega, nu, g_total):
+def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, *rest,
+             BZ, nyc, nxc, omega, nu, g_total, qblk, mf, geom):
+    crefs = rest[:-5]
+    x_out, r_out, e_out, rc_out, sr_ref = rest[-5:]
     h = HALO_Z
     b, g = pl.program_id(0), pl.program_id(1)
-    fst, lst = _edge_flags(g_total)
+    flags = _all_flags(qblk, g_total)
+    fst, lst = flags[0], flags[1]
 
     @pl.when(g == 0)
     def _init():
@@ -92,10 +120,7 @@ def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
     def _run():
         alpha = alpha_ref[b, 0]
         pw = _hwin3(pn, pb, ps, fst, lst)
-        aww = _hwin3(awn, awb, aws, fst, lst)
-        anw = _hwin3(ann, anb, ans, fst, lst)
-        auw = _hwin3(aun, aub, aus, fst, lst)
-        diw = _hwin3(din, dib, dis, fst, lst)
+        aww, anw, auw, diw = _cwins(crefs, flags, mf=mf, geom=geom)
         dgw = _diag_of(diw)
         q = dgw * pw - _nbsum3(aww, anw, auw, pw)     # valid margin 1
         rw = _hwin3(rn, rb, rs, fst, lst) - alpha * q   # valid margin 1
@@ -123,12 +148,14 @@ def _pass_b3(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         rc_out[...] = jnp.zeros_like(rc_out[...])
 
 
-def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
-             ans, aub, aun, aus, dib, din, dis, ecb, ecn, ecs, z_out,
-             rz_ref, *, BZ, omega, nu, over, g_total):
+def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, *rest,
+             BZ, omega, nu, over, g_total, qblk, mf, geom):
+    crefs = rest[:-5]
+    ecb, ecn, ecs, z_out, rz_ref = rest[-5:]
     h = HALO_Z
     b, g = pl.program_id(0), pl.program_id(1)
-    fst, lst = _edge_flags(g_total)
+    flags = _all_flags(qblk, g_total)
+    fst, lst = flags[0], flags[1]
 
     @pl.when(g == 0)
     def _init():
@@ -138,10 +165,7 @@ def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
     def _run():
         ew = _hwin3(en, eb, es_, fst, lst)
         rw = _hwin3(rn, rb, rs, fst, lst)
-        aww = _hwin3(awn, awb, aws, fst, lst)
-        anw = _hwin3(ann, anb, ans, fst, lst)
-        auw = _hwin3(aun, aub, aus, fst, lst)
-        diw = _hwin3(din, dib, dis, fst, lst)
+        aww, anw, auw, diw = _cwins(crefs, flags, mf=mf, geom=geom)
 
         ecw = _hwin3(ecn, ecb, ecs, fst, lst)
         ny, nx = ew.shape[1], ew.shape[2]
@@ -154,6 +178,12 @@ def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
         for w in reversed(smoothing_schedule(omega, nu)):
             e = _smooth3(aww, anw, auw, diw, e, rw, w)
         zb = e[h:h + BZ]
+        if mf:
+            # matrix-free pads carry diag 0 (not the stored identity), so
+            # the prolongated correction at D == 0 voxels would never decay
+            # and p/x would drift there; pin z to 0 on non-physical voxels
+            # (their r is 0 identically, so rz is unaffected)
+            zb = jnp.where(crefs[0][...] > 0, zb, jnp.zeros_like(zb))
         z_out[...] = zb
         rz_ref[b, 0] += jnp.sum(rb[...] * zb)
 
@@ -163,20 +193,33 @@ def _pass_c3(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann,
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
-                                             "over", "band", "interpret"))
+                                             "over", "band", "interpret",
+                                             "geom"))
 @x32_kernel
 def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
                      r: jax.Array, p: jax.Array, rz: jax.Array,
                      active: jax.Array, stop: jax.Array, hi: jax.Array,
                      k: jax.Array, *, omega: float = 0.8, nu: int = 2,
                      coarse_iters: int = 32, over: float = 1.8,
-                     band: int = 16, interpret: bool = False):
+                     band: int = 16, interpret: bool = False,
+                     d_field=None, geom=None):
     """Run up to ``k`` banded 3D MGCG iterations on a (B, nz, ny, nx) batch.
 
     Same contract as :func:`cgstep_vmem.cg_steps_pallas` / 2D
     ``cg_steps_tiled`` (levels from ``build_hierarchy_3d(pad_levels=True)``
     on an operator padded to ``pad_shape_3d``; nz % band == 0): returns
-    (x, r, p, rz, k_done)."""
+    (x, r, p, rz, k_done).
+
+    MATRIX-FREE level 0: pass ``d_field`` (the PADDED (B, nz, ny, nx)
+    diffusivity volume, zero in the pads, strictly positive on real voxels)
+    + static ``geom = (fx, fy, fz, bcf, nxr)`` (assembly factors for the
+    UNPADDED shape, see vcycle3d._coeffs_from_dwin) and the three passes
+    recompute the level-0 stencil windows in-VMEM from a double-halo D
+    window instead of streaming 4 stored coefficient fields — level-0
+    coefficient HBM reads drop 12 -> ~3.9 window-equivalents per iteration.
+    Only valid for the plain unmasked, unequilibrated operator
+    ``fvm_coefficients_3d(d, cl, cr)`` (levels[0] must be exactly that,
+    padded); levels[1:] stay stored."""
     bsz, nz, ny, nx = x.shape
     if nz % band or band % HALO_Z or nu > HALO_Z - 1:
         raise ValueError(f"cg_steps3d_tiled: nz={nz} % band={band}, band % "
@@ -185,13 +228,29 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
     g_total = nz // band
     dtype = x.dtype
     ny1, nx1 = levels[1].diag.shape[-2:]
-
-    coef_ops = []
-    for plane in (c0.a_w, c0.a_n, c0.a_u, c0.diag_inv):
-        pf = banded3(plane.reshape(x.shape), band)
-        coef_ops.extend((pf, pf, pf))
+    mf = d_field is not None
+    if mf and geom is None:
+        raise ValueError("cg_steps3d_tiled: d_field requires geom")
 
     body, north, south = _specs3(bsz, g_total, band, ny, nx)
+    if mf:
+        db = banded3(d_field.astype(dtype), band)
+        north2, south2 = _d_halo_specs3(bsz, g_total, band, ny, nx)
+        coef_ops = [db, db, db, db, db]
+        coef_specs = [body, north2, north, south, south2]
+        # pin the non-physical (D == 0) pad voxels of the incoming state to
+        # 0: the initial p comes from the stored-coefficient refresh cycle,
+        # whose identity pad rows leak prolongated corrections there (see
+        # _pass_c3's matching in-loop pin)
+        ind = (d_field > 0).astype(dtype)
+        x, r, p = x * ind, r * ind, p * ind
+    else:
+        coef_ops = []
+        for plane in (c0.a_w, c0.a_n, c0.a_u, c0.diag_inv):
+            pf = banded3(plane.reshape(x.shape), band)
+            coef_ops.extend((pf, pf, pf))
+        coef_specs = None
+
     cspec = [body, north, south]
     scal = _scal_spec(bsz)
     scal_out = pl.BlockSpec((bsz, 1), lambda b, g: (0, 0),
@@ -211,11 +270,13 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
                                     dtype)
     ecb_spec, ecn_spec, ecs_spec = _coarse_specs3(bsz, g_total, band,
                                                   ny1, nx1)
+    cf_specs = coef_specs if mf else cspec * 4
+    kargs = dict(g_total=g_total, qblk=band // HALO_Z, mf=mf, geom=geom)
 
     pa = pl.pallas_call(
-        functools.partial(_pass_a3, BZ=band, g_total=g_total),
+        functools.partial(_pass_a3, BZ=band, **kargs),
         grid=(bsz, g_total),
-        in_specs=[scal, scal] + cspec * 2 + cspec * 4,
+        in_specs=[scal, scal] + cspec * 2 + cf_specs,
         out_shape=[band_shape, scal_shape],
         out_specs=[body, scal_out],
         interpret=interpret,
@@ -223,9 +284,9 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
     )
     pb_ = pl.pallas_call(
         functools.partial(_pass_b3, BZ=band, nyc=ny1, nxc=nx1, omega=omega,
-                          nu=nu, g_total=g_total),
+                          nu=nu, **kargs),
         grid=(bsz, g_total),
-        in_specs=[scal, scal, body] + cspec * 2 + cspec * 4,
+        in_specs=[scal, scal, body] + cspec * 2 + cf_specs,
         out_shape=[band_shape, band_shape, band_shape, rc_shape, scal_shape],
         out_specs=[body, body, body, ecb_spec, scal_out],
         interpret=interpret,
@@ -233,10 +294,10 @@ def cg_steps3d_tiled(levels: List[StencilCoeffs3D], x: jax.Array,
     )
     pc = pl.pallas_call(
         functools.partial(_pass_c3, BZ=band, omega=omega, nu=nu, over=over,
-                          g_total=g_total),
+                          **kargs),
         grid=(bsz, g_total),
-        in_specs=[scal] + cspec * 2 + cspec * 4 + [ecb_spec, ecn_spec,
-                                                   ecs_spec],
+        in_specs=[scal] + cspec * 2 + cf_specs + [ecb_spec, ecn_spec,
+                                                  ecs_spec],
         out_shape=[band_shape, scal_shape],
         out_specs=[body, scal_out],
         interpret=interpret,

@@ -429,17 +429,23 @@ def _d_halo_specs3(bsz, g_total, band, ny, nx):
     return north2, south2
 
 
-def _dwin5(db, dn2, dn1, ds1, ds2, *, q, g_total):
+def _mf_flags(q, g_total):
+    """Second-ring edge flags for :func:`_dwin5`, read at the TOP level of
+    the kernel body (``pl.program_id`` inside a ``pl.when`` branch does not
+    lower in interpret mode — the jump-#17 gotcha in docs/PERFORMANCE.md):
+    n2 block falls before this image / s2 block falls past it."""
+    g = pl.program_id(1)
+    return g * q < 2, (g + 1) * q + 1 > g_total * q - 1
+
+
+def _dwin5(db, dn2, dn1, ds1, ds2, *, f1, l1, f2, l2):
     """Double-halo D window (BZ + 4*HALO_Z, ny, nx) from five in-array
     blocks, zero-masking the blocks that fall outside this image's
     z-extent (D outside the domain is 0, so the recomputed face
     conductances vanish at the global z edges exactly like assembly's
-    zero-plane concatenate, fvm3d.fvm_coefficients_3d)."""
-    g = pl.program_id(1)
-    f1 = g == 0
-    l1 = g == g_total - 1
-    f2 = g * q < 2                                  # n2 block index < 0
-    l2 = (g + 1) * q + 1 > g_total * q - 1          # s2 block past image
+    zero-plane concatenate, fvm3d.fvm_coefficients_3d).  ``f1``/``l1``
+    are :func:`_edge_flags`, ``f2``/``l2`` :func:`_mf_flags` — all four
+    computed at the kernel top level."""
 
     def m(flag, ref):
         v = ref[...]

@@ -69,7 +69,8 @@ def _effective_solver_3d(cfg) -> str:
     return "mgcg"
 
 
-def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None, gas_np=None):
+def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None, gas_np=None,
+             d_field=None):
     name = name or _effective_solver_3d(cfg)
     if name == "dmg":
         from ..solvers.dmg3d import solve_dmg_3d
@@ -78,8 +79,9 @@ def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None, gas_np=None):
                             check_every=cfg.check_every,
                             criterion=cfg.criterion, member=gas_np)
     fn = _SOLVERS[name]
+    kw = {"d_field": d_field} if name == "mgcg" and d_field is not None else {}
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
-              check_every=cfg.check_every, criterion=cfg.criterion)
+              check_every=cfg.check_every, criterion=cfg.criterion, **kw)
 
 
 def _linear_init_3d(nz, ny, nx, cl, cr, dtype):
@@ -105,13 +107,18 @@ def volume_sim(cfg: SimulationConfig, vol: np.ndarray,
     iters = 0
     time_s = 0.0
     solver3d = _effective_solver_3d(cfg)
+    # the 2-phase system is exactly the unmasked fvm_coefficients_3d(d),
+    # so mgcg's fused engine can recompute level 0 from D in-kernel
+    # (matrix-free; requires strictly positive D — gate on d_solid > 0)
+    mf_ok = solver3d == "mgcg" and cfg.d_solid > 0
     for dcf in dcf_stages(cfg.d_fluid):
         d_field = jnp.asarray(
             phases.d_field_from_classes(classes, dcf, cfg.d_solid, dtype=dtype))
         coeffs = fvm3d.fvm_coefficients_3d(d_field, cfg.c_left, cfg.c_right)
         spec = fvm3d.make_flux_spec_3d(d_field, cfg.c_left, cfg.c_right)
         res, dt = time_fn(_solve3d, cfg, coeffs, spec, x, cfg.convergence,
-                          cfg.max_iter, solver3d)
+                          cfg.max_iter, solver3d,
+                          d_field=d_field if mf_ok else None)
         x = res.x
         deff = float(res.deff) / dcf
         conv = float(res.conv)
@@ -217,7 +224,8 @@ def _group_by_shape(vols, indices, max_group):
     return groups
 
 
-def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter, gas_np=None):
+def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter, gas_np=None,
+                     d_field=None):
     name = _effective_solver_3d(cfg)
     if name == "dmg":
         from ..solvers.dmg3d import solve_dmg_3d_batched
@@ -227,8 +235,9 @@ def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter, gas_np=None):
             check_every=cfg.check_every, criterion=cfg.criterion,
             members=gas_np)
     fn = _BATCHED_SOLVERS[name]
+    kw = {"d_field": d_field} if name == "mgcg" and d_field is not None else {}
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
-              check_every=cfg.check_every, criterion=cfg.criterion)
+              check_every=cfg.check_every, criterion=cfg.criterion, **kw)
 
 
 def volume_batch_sim(cfg: SimulationConfig, vols) -> np.ndarray:
@@ -267,8 +276,12 @@ def volume_batch_sim(cfg: SimulationConfig, vols) -> np.ndarray:
         x0 = jnp.broadcast_to(
             _linear_init_3d(nz, ny, nx, cfg.c_left, cfg.c_right, dtype),
             (bsz, nz, ny, nx))
-        res, dt = time_fn(_solve3d_batched, cfg, coeffs, spec, x0,
-                          cfg.convergence, cfg.max_iter)
+        res, dt = time_fn(
+            _solve3d_batched, cfg, coeffs, spec, x0, cfg.convergence,
+            cfg.max_iter,
+            # unmasked 2-phase operator: matrix-free level 0 (see volume_sim)
+            d_field=d_field if (solver3d == "mgcg" and cfg.d_solid > 0)
+            else None)
         deff = np.asarray(res.deff, np.float64) / cfg.d_fluid
         conv = np.asarray(res.conv)
         iters = np.asarray(res.iters)

@@ -289,11 +289,12 @@ def _pallas_auto_3d(coeffs, nu1, nu2):
 
 def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
                       criterion, nu, mg_omega, coarse_iters, min_size, over,
-                      interpret=False) -> SolveResult:
+                      d_field=None, interpret=False) -> SolveResult:
     """Batched 3D MGCG on the banded fused engine: k = check_every full PCG
     iterations per launch (ops/kernels/cgstep3d.py), check/restart/
     divergence/freeze semantics mirroring the 2D fused driver
-    (solvers/multigrid._run_mgcg_fused)."""
+    (solvers/multigrid._run_mgcg_fused).  ``d_field`` (optional) switches
+    the engine's level 0 matrix-free — see cg_steps3d_tiled."""
     from ..ops.kernels.cgstep3d import cg_steps3d_tiled
     from ..ops.kernels.vcycle3d import (band_z_for, pad_op_3d, pad_shape_3d,
                                         v_cycle3d_tiled)
@@ -316,6 +317,14 @@ def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
             return a
         return jnp.pad(a, [(0, 0), (0, pz - nz), (0, py - ny), (0, px - nx)])
 
+    if d_field is not None:
+        d_p = pad_to(d_field.astype(dtype))
+        dx, dy, dz = 1.0 / nx, 1.0 / ny, 1.0 / nz
+        geom = (dy * dz / dx, dx * dz / dy, dx * dy / dz,
+                dy * dz / (dx / 2.0), nx)
+    else:
+        d_p, geom = None, None
+
     def unpad(a):
         return a[..., :nz, :ny, :nx] if pad else a
 
@@ -323,7 +332,7 @@ def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         return cg_steps3d_tiled(
             levels, x, r, p, rz, active, stop_s, hi_s, k,
             omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
-            band=band, interpret=interpret)
+            band=band, interpret=interpret, d_field=d_p, geom=geom)
 
     def cycle(r):
         return v_cycle3d_tiled(levels, r, omega=mg_omega, nu=nu,
@@ -469,7 +478,7 @@ def solve_cg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e
 
 def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                 batched, nu1, nu2, mg_omega, coarse_iters, min_size, over,
-                use_pallas=None, pallas_interpret=False):
+                use_pallas=None, pallas_interpret=False, d_field=None):
     if use_pallas is None:
         use_pallas = _pallas_auto_3d(coeffs, nu1, nu2)
 
@@ -478,12 +487,14 @@ def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             lambda a: a[None], coeffs)
         hier_spec = spec if batched else jax.tree.map(
             lambda a: jnp.asarray(a)[None], spec)
+        if d_field is not None and not batched:
+            d_field = d_field[None]
         res = _run_mgcg3d_fused(
             hier_coeffs, hier_spec, x0 if batched else x0[None],
             tol=tol, max_iter=max_iter, check_every=check_every,
             criterion=criterion, nu=nu1, mg_omega=mg_omega,
             coarse_iters=coarse_iters, min_size=min_size, over=over,
-            interpret=pallas_interpret)
+            d_field=d_field, interpret=pallas_interpret)
         if not batched:
             res = jax.tree.map(lambda a: a[0], res)
         return res
@@ -507,17 +518,25 @@ def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                   criterion: str = "residual", nu1: int = 1, nu2: int = 1,
                   mg_omega: float = 0.8, coarse_iters: int = 32,
                   min_size: int = 4, over: float = 1.8,
-                  use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
+                  use_pallas=None, pallas_interpret: bool = False,
+                  d_field=None) -> SolveResult:
     """3D multigrid-PCG.  ``use_pallas``: None = auto (the banded fused
     whole-CG-iteration engine on TPU fp32 V(nu, nu) — ops/kernels/
     cgstep3d.py); False forces the XLA path; "tiled3d" forces the fused
-    engine (CPU tests pass pallas_interpret=True)."""
+    engine (CPU tests pass pallas_interpret=True).
+
+    ``d_field``: optionally the raw diffusivity volume behind ``coeffs``.
+    When given AND ``coeffs`` is exactly the plain unmasked, unequilibrated
+    ``fvm_coefficients_3d(d_field, cl, cr)``, the fused engine recomputes
+    its level-0 stencil from D in-kernel instead of streaming 4 stored
+    coefficient fields (matrix-free level 0 — ~1.4x on the engine's
+    per-iteration HBM traffic).  Ignored on the XLA path."""
     return _mgcg3_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                        check_every=driver.resolve_check_every(check_every, 10),
                        criterion=criterion, batched=False, nu1=nu1, nu2=nu2,
                        mg_omega=mg_omega, coarse_iters=coarse_iters,
                        min_size=min_size, over=over, use_pallas=use_pallas,
-                       pallas_interpret=pallas_interpret)
+                       pallas_interpret=pallas_interpret, d_field=d_field)
 
 
 @functools.partial(
@@ -532,10 +551,12 @@ def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
                           nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
                           coarse_iters: int = 32, min_size: int = 4,
                           over: float = 1.8,
-                          use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
+                          use_pallas=None, pallas_interpret: bool = False,
+                          d_field=None) -> SolveResult:
+    """Batched :func:`solve_mgcg_3d` (see it for ``d_field``)."""
     return _mgcg3_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                        check_every=driver.resolve_check_every(check_every, 10),
                        criterion=criterion, batched=True, nu1=nu1, nu2=nu2,
                        mg_omega=mg_omega, coarse_iters=coarse_iters,
                        min_size=min_size, over=over, use_pallas=use_pallas,
-                       pallas_interpret=pallas_interpret)
+                       pallas_interpret=pallas_interpret, d_field=d_field)

@@ -110,6 +110,58 @@ def test_fused3d_freezes_converged_images(rng):
         assert int(got.iters[k]) == int(solo.iters[0])
 
 
+def test_fused3d_matrix_free_unpadded_matches_stored(rng):
+    """Matrix-free level 0 on an unpadded volume (even dims, one band):
+    the recomputed windows are bit-exact vs stored coefficients (the
+    dwin parity test below), so the solve matches the stored-coefficient
+    engine to compiler-reassociation roundoff (XLA fuses the recompute
+    into its consumers with different FMA contraction than the stored
+    loads — measured ~1e-14 relative on a single launch; a wrong window
+    would be O(1))."""
+    bsz, nz, ny, nx = 2, 8, 8, 12
+    d = np.exp(rng.uniform(0, np.log(1e4), (bsz, nz, ny, nx)))
+    dj = jnp.asarray(d, jnp.float64)
+    coeffs = jax.vmap(fvm3d.fvm_coefficients_3d, in_axes=(0, None, None))(
+        dj, 0.0, 1.0)
+    spec = jax.vmap(make_flux_spec_3d, in_axes=(0, None, None))(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx,
+                          (bsz, nz, ny, nx))
+    kw = dict(tol=1e-5, max_iter=60, check_every=5, criterion="residual",
+              nu1=2, nu2=2, min_size=4, use_pallas="tiled3d",
+              pallas_interpret=True)
+    ref = solve_mgcg_3d_batched(coeffs, spec, x0, **kw)
+    got = solve_mgcg_3d_batched(coeffs, spec, x0, d_field=dj, **kw)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                               rtol=1e-11)
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+
+
+def test_fused3d_matrix_free_padded(rng):
+    """Matrix-free level 0 with padding on all three axes (the pads carry
+    diag 0 instead of the stored identity — a numerically different but
+    equivalent padded system): converged results match the XLA engine."""
+    bsz, nz, ny, nx = 2, 9, 9, 11
+    d = np.exp(rng.uniform(0, np.log(1e4), (bsz, nz, ny, nx)))
+    dj = jnp.asarray(d, jnp.float64)
+    coeffs = jax.vmap(fvm3d.fvm_coefficients_3d, in_axes=(0, None, None))(
+        dj, 0.0, 1.0)
+    spec = jax.vmap(make_flux_spec_3d, in_axes=(0, None, None))(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx,
+                          (bsz, nz, ny, nx))
+    kw = dict(tol=1e-6, max_iter=80, check_every=5, criterion="residual",
+              nu1=2, nu2=2, min_size=4)
+    ref = solve_mgcg_3d_batched(coeffs, spec, x0, use_pallas=False, **kw)
+    got = solve_mgcg_3d_batched(coeffs, spec, x0, use_pallas="tiled3d",
+                                pallas_interpret=True, d_field=dj, **kw)
+    assert np.all(np.asarray(got.conv) <= 1e-6)
+    np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-7)
+
+
 def test_coeffs_from_dwin_matches_assembly(rng):
     """Matrix-free level-0 window recompute (vcycle3d._coeffs_from_dwin)
     vs fvm_coefficients_3d + pad_op_3d windows, for every band of a

@@ -345,6 +345,34 @@ class TestTPUSmoke:
                                         coarse_iters=8, over=1.8, band=16))
         np.testing.assert_allclose(zt, z_ref, atol=1e-4 * scale)
 
+    def test_cgstep3d_matrix_free_compiled(self):
+        # matrix-free level-0 3D engine (round-4: in-kernel stencil
+        # recompute from a double-halo D window) vs the stored-coefficient
+        # engine, compiled on chip; 128^3 forces multi-band streaming so
+        # the second-ring halo BlockSpecs lower through Mosaic
+        from effectivediffusivityfvm_tpu.ops import fvm3d
+        from effectivediffusivityfvm_tpu.solvers.solvers3d import (
+            solve_mgcg_3d_batched)
+
+        rng = np.random.default_rng(6)
+        n = 128
+        d = jnp.asarray(
+            np.where(rng.random((1, n, n, n)) < 0.6, 1.0, 1e-3), jnp.float32)
+        c = jax.vmap(fvm3d.fvm_coefficients_3d, in_axes=(0, None, None))(
+            d, 0.0, 1.0)
+        spec = jax.vmap(fvm3d.make_flux_spec_3d, in_axes=(0, None, None))(
+            d, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32) / n,
+                              (1, n, n, n))
+        kw = dict(tol=1e-4, max_iter=200, check_every=10,
+                  criterion="relresidual", nu1=2, nu2=2, coarse_iters=8,
+                  use_pallas="tiled3d")
+        ref = solve_mgcg_3d_batched(c, spec, x0, **kw)
+        got = solve_mgcg_3d_batched(c, spec, x0, d_field=d, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-4)
+        np.testing.assert_allclose(np.asarray(got.deff),
+                                   np.asarray(ref.deff), rtol=1e-3)
+
 
 class TestFusedCGStep:
     """Whole-CG-iteration fused kernel (ops/kernels/cgstep_vmem.py) vs the
