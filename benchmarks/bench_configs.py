@@ -120,6 +120,11 @@ def config3():
     _emit({"config": 3, "metric": "2048^2 fp32 MGCG to its ~1e-4 floor",
            "seconds": round(best, 3), "iters": int(res.iters),
            "relres": float(res.conv)})
+    # matrix-free level 0: measured NEUTRAL in 2D (compute/launch-bound
+    # engine — docs/PERFORMANCE.md round-4 notes); printed for comparison
+    res_m, best_m, _ = _timed(solve_mgcg, coeffs, spec, x0, d_field=d, **kw)
+    print(f"config3 mgcg fp32 (matrix-free L0): {int(res_m.iters)} iters, "
+          f"relres={float(res_m.conv):.2e}, {best_m:.2f}s", file=sys.stderr)
 
     # the tight 1e-8 solve: dmg without a deflation space = equilibrated
     # f64 A-DEF2 engine with the f32 V-cycle preconditioner (solvers/dmg.py)

@@ -56,19 +56,27 @@ def main(n=2048):
     z = v_cycle_tiled(lv, r, band=band, **mg)
     rz = jnp.sum(r * z, axis=(-2, -1))
     ones = jnp.ones((1, 1), jnp.float32)
+    d_pad = jnp.pad(d[None], [(0, 0), (0, py - n), (0, px - n)])
+    dx = dy = 1.0 / n
+    geom = (dy / dx, dx / dy, dy / (dx / 2.0), n)
 
-    def steps(k):
+    def steps(k, mf):
+        kw = dict(d_field=d_pad, geom=geom) if mf else {}
         out = cg_steps_tiled(lv, x, r, z, rz[:, None], ones, 0.0 * ones,
                              jnp.full((1, 1), 1e30, jnp.float32),
-                             jnp.asarray(k, jnp.int32), band=band, **mg)
+                             jnp.asarray(k, jnp.int32), band=band, **mg,
+                             **kw)
         np.asarray(out[4])            # scalar force only (lazy axon fetch)
 
     ks = (5, 105)
-    ts = [timeit(lambda k=k: steps(k)) for k in ks]
-    slope = (ts[1] - ts[0]) / (ks[1] - ks[0])
-    print(f"k={ks[0]}: {1e3 * ts[0]:8.2f} ms  k={ks[1]}: {1e3 * ts[1]:8.2f} ms"
-          f"  -> {1e3 * slope:.2f} ms/iter in-kernel,"
-          f" {1e3 * (ts[0] - ks[0] * slope):.2f} ms launch", flush=True)
+    for mf in (False, True):
+        ts = [timeit(lambda k=k, mf=mf: steps(k, mf)) for k in ks]
+        slope = (ts[1] - ts[0]) / (ks[1] - ks[0])
+        tag = "matrix-free L0" if mf else "stored coeffs "
+        print(f"{tag}: k={ks[0]}: {1e3 * ts[0]:8.2f} ms  "
+              f"k={ks[1]}: {1e3 * ts[1]:8.2f} ms"
+              f"  -> {1e3 * slope:.2f} ms/iter in-kernel,"
+              f" {1e3 * (ts[0] - ks[0] * slope):.2f} ms launch", flush=True)
 
 
 if __name__ == "__main__":

@@ -53,8 +53,8 @@ def _cwins(crefs, flags, *, mf, geom):
     (BZ + 2*HALO_Z, ny, nx): stored-coefficient ``_hwin3`` loads (12 refs),
     or the MATRIX-FREE recompute from a double-halo D window (5 refs of the
     same flattened D array; ``geom = (fx, fy, fz, bcf, nxr)`` — the
-    assembly factors for the UNPADDED domain).  The recompute is bit-exact
-    vs the stored windows on real voxels (tests/test_kernels3d.py) and cuts
+    assembly factors for the UNPADDED domain).  The recompute is ulp-equal
+    to the stored windows on real voxels (tests/test_kernels3d.py) and cuts
     the per-pass coefficient HBM reads 4 windows -> ~1.3 window-equivalents
     of D."""
     f1, l1, f2, l2 = flags

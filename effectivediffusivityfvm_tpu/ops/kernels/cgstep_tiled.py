@@ -40,9 +40,14 @@ level residual need nu+1 more — HALO = 8 rows cover nu <= 4 with margin
 
 HBM traffic per iteration ~21 fine-plane passes (A: 6, B: 8.5, C: 6.25
 + the 4x-smaller coarse tail) vs ~24 streamed by XLA at a fraction of the
-bandwidth.  Reference hot-kernel analog: updateX_SOR (Deff2D.cuh:69-92)
-at its shipped demo-image scale, one full Krylov+multigrid iteration per
-three plane passes.
+bandwidth.  MATRIX-FREE level 0 (``d_field=`` + static ``geom=``, plain
+unmasked operators only) recomputes the aw/an/diag_inv windows in-VMEM
+from a double-halo window of the raw diffusivity field instead of
+streaming the 3 stored coefficient fields: ~21 -> ~15 plane passes per
+iteration (the 2D twin of cgstep3d's mf mode; recompute ulp-equal to the
+stored windows, tests/test_pallas_kernel.py).  Reference hot-kernel
+analog: updateX_SOR (Deff2D.cuh:69-92) at its shipped demo-image scale,
+one full Krylov+multigrid iteration per three plane passes.
 """
 
 from __future__ import annotations
@@ -100,14 +105,108 @@ def _hwin2(n_ref, b_ref, s_ref, first, last):
     return jnp.concatenate([nb, _rd(b_ref), sb], axis=0)
 
 
-def _pass_a(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
-            anb, ann, ans, dib, din, dis, p_out, pap_ref, *, H,
-            g_total=None):
+def _all_flags2(g_total, q, mf):
+    """First-ring (:func:`_edges2`) + second-ring edge flags, computed at
+    the TOP level of the kernel body (``pl.program_id`` inside a
+    ``pl.when`` branch does not lower in interpret mode).  The second ring
+    exists only in matrix-free mode: the n2/s2 D blocks of near-edge bands
+    alias rows outside this image's y-extent and must read as zero."""
+    fst, lst = _edges2(g_total)
+    if not mf:
+        return fst, lst, None, None
+    g = pl.program_id(1)
+    return fst, lst, g * q < 2, (g + 1) * q + 1 > g_total * q - 1
+
+
+def _dwin2(db, dn2, dn1, ds1, ds2, *, f1, l1, f2, l2):
+    """Double-halo D window (band + 4*HALO, nx) from five in-array blocks,
+    zero-masking the blocks that fall outside this image's y-extent (D
+    outside the domain is 0, so the recomputed face conductances vanish at
+    the global y edges exactly like assembly's zero-row concatenate,
+    fvm.fvm_coefficients).  The 2D twin of vcycle3d._dwin5."""
+
+    def m(flag, ref):
+        v = _rd(ref)
+        return jnp.where(flag, jnp.zeros_like(v), v)
+
+    return jnp.concatenate(
+        [m(f2, dn2), m(f1, dn1), _rd(db), m(l1, ds1), m(l2, ds2)], axis=0)
+
+
+def _coeffs_from_dwin2(dw, *, fx, fy, bcf, nxr):
+    """Recompute the level-0 stencil windows (aw, an, diag_inv), each
+    (band + 2*HALO, nx), from a double-halo D window — term-for-term the
+    assembly of fvm.fvm_coefficients (a zero D on either side blocks the
+    face exactly, see the harmonic-mean note below), with the
+    Dirichlet diag add at the REAL x-boundary columns 0 and ``nxr - 1``
+    (trailing x padding carries D = 0 -> zero coefficients, i.e. fully
+    decoupled rows; their diag is 0 instead of _pad_op's stored identity 1,
+    which is equivalent because every field is pinned to 0 there).
+    fx/fy/bcf are the assembly's dy/dx-style Python-float factors for the
+    UNPADDED domain shape.  The 2D twin of vcycle3d._coeffs_from_dwin.
+
+    The harmonic mean uses the guarded PRODUCT form ``2ab/(a+b)`` (one VPU
+    divide) instead of assembly's reciprocal form ``2/(1/a+1/b)`` (three):
+    identical zero structure (either side 0 -> exactly 0; both 0, the pads,
+    guarded to 0), ~1-2 ulp apart on positive faces — measured at 2048^2
+    the reciprocal form's divides cost more than the streamed reads they
+    replace (1.12 vs 1.02 ms/iter stored)."""
+    h = HALO
+
+    def hm(a, b):
+        s = a + b
+        return jnp.where(s > 0, (2.0 * a) * b / jnp.where(s > 0, s, 1.0),
+                         jnp.zeros_like(s))
+
+    hx = hm(dw[:, :-1], dw[:, 1:]) * fx
+    hy = hm(dw[:-1], dw[1:]) * fy
+
+    zx = jnp.zeros_like(dw[:, :1])
+    zy = jnp.zeros_like(dw[:1])
+    aw = jnp.concatenate([zx, hx], axis=-1)
+    ae = jnp.concatenate([hx, zx], axis=-1)
+    an = jnp.concatenate([zy, hy], axis=0)
+    as_ = jnp.concatenate([hy, zy], axis=0)
+
+    diag = aw + ae + an + as_
+    col = jax.lax.broadcasted_iota(jnp.int32, diag.shape, 1)
+    diag = diag + jnp.where((col == 0) | (col == nxr - 1), dw * bcf,
+                            jnp.zeros_like(dw))
+    di = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 0.0)
+
+    sl = slice(h, dw.shape[0] - h)
+    return aw[sl], an[sl], di[sl]
+
+
+def _cwins2(crefs, flags, *, mf, geom):
+    """Level-0 stencil windows (aw, an, diag_inv), each (band + 2*HALO,
+    nx): stored-coefficient :func:`_hwin2` loads (9 refs), or the
+    MATRIX-FREE recompute from a double-halo D window (5 refs of the same
+    flattened D array; ``geom = (fx, fy, bcf, nxr)``).  The recompute is
+    ulp-equal to the stored windows on real pixels
+    (tests/test_pallas_kernel.py) and cuts the per-pass coefficient HBM
+    reads 3 fields -> ~1.2 field-equivalents of D."""
+    f1, l1, f2, l2 = flags
+    if mf:
+        db, dn2, dn1, ds1, ds2 = crefs
+        dw = _dwin2(db, dn2, dn1, ds1, ds2, f1=f1, l1=l1, f2=f2, l2=l2)
+        fx, fy, bcf, nxr = geom
+        return _coeffs_from_dwin2(dw, fx=fx, fy=fy, bcf=bcf, nxr=nxr)
+    awb, awn, aws, anb, ann, ans, dib, din, dis = crefs
+    return (_hwin2(awn, awb, aws, f1, l1), _hwin2(ann, anb, ans, f1, l1),
+            _hwin2(din, dib, dis, f1, l1))
+
+
+def _pass_a(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, *rest, H,
+            g_total=None, mf=False, geom=None):
     """p = z + beta*p_old on the full window; q = A p on the interior;
-    accumulate pap."""
+    accumulate pap.  ``rest`` = coefficient refs (9 stored / 5 matrix-free,
+    see :func:`_cwins2`) + (p_out, pap_ref)."""
+    crefs, (p_out, pap_ref) = rest[:-2], rest[-2:]
     h = HALO
     b, g = pl.program_id(0), pl.program_id(1)
-    fst, lst = _edges2(g_total)
+    flags = _all_flags2(g_total, H // HALO, mf)
+    fst, lst = flags[0], flags[1]
 
     @pl.when(g == 0)
     def _init():
@@ -118,9 +217,8 @@ def _pass_a(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
         beta = beta_ref[b, 0]
         pw = (_hwin2(zn, zb, zs, fst, lst)
               + beta * _hwin2(pn, pb, ps, fst, lst))
-        aww = _hwin2(awn, awb, aws, fst, lst)
-        anw = _hwin2(ann, anb, ans, fst, lst)
-        dgw = _diag_of(_hwin2(din, dib, dis, fst, lst))
+        aww, anw, diw = _cwins2(crefs, flags, mf=mf, geom=geom)
+        dgw = _diag_of(diw)
         q = dgw * pw - _nbsum(aww, anw, pw)       # valid off the window edge
         pbnd = pw[h:h + H]
         p_out[...] = pbnd.reshape(p_out.shape)
@@ -131,14 +229,17 @@ def _pass_a(beta_ref, live_ref, zb, zn, zs, pb, pn, ps, awb, awn, aws,
         p_out[...] = pb[...].reshape(p_out.shape)
 
 
-def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
-            anb, ann, ans, dib, din, dis, x_out, r_out, e_out, rc_out,
-            sr_ref, *, H, omega, nu, g_total=None):
+def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, *rest,
+            H, omega, nu, g_total=None, mf=False, geom=None):
     """x += alpha p; r -= alpha q (q recomputed in-window); T1 of the tiled
-    cycle on the fresh r; accumulate sum|r|."""
+    cycle on the fresh r; accumulate sum|r|.  ``rest`` = coefficient refs
+    (:func:`_cwins2`) + (x_out, r_out, e_out, rc_out, sr_ref)."""
+    crefs = rest[:-5]
+    x_out, r_out, e_out, rc_out, sr_ref = rest[-5:]
     h = HALO
     b, g = pl.program_id(0), pl.program_id(1)
-    fst, lst = _edges2(g_total)
+    flags = _all_flags2(g_total, H // HALO, mf)
+    fst, lst = flags[0], flags[1]
 
     @pl.when(g == 0)
     def _init():
@@ -148,9 +249,7 @@ def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
     def _run():
         alpha = alpha_ref[b, 0]
         pw = _hwin2(pn, pb, ps, fst, lst)
-        aww = _hwin2(awn, awb, aws, fst, lst)
-        anw = _hwin2(ann, anb, ans, fst, lst)
-        diw = _hwin2(din, dib, dis, fst, lst)
+        aww, anw, diw = _cwins2(crefs, flags, mf=mf, geom=geom)
         dgw = _diag_of(diw)
         q = dgw * pw - _nbsum(aww, anw, pw)       # valid margin 1
         rw = _hwin2(rn, rb, rs, fst, lst) - alpha * q   # valid margin 1
@@ -181,14 +280,18 @@ def _pass_b(alpha_ref, live_ref, xb, pb, pn, ps, rb, rn, rs, awb, awn, aws,
         rc_out[...] = jnp.zeros_like(rc_out[...])
 
 
-def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
-            dib, din, dis, ec_ref, z_out, rz_ref, *, H, omega, nu, over,
-            g_total=None):
+def _pass_c(live_ref, eb, en, es_, rb, rn, rs, *rest, H, omega, nu, over,
+            g_total=None, mf=False, geom=None):
     """T2 of the tiled cycle (prolong + add + post-smooth) producing z;
-    accumulate rz = <r, z> (same prolongation as vcycle_tiled._post_kernel)."""
+    accumulate rz = <r, z> (same prolongation as vcycle_tiled._post_kernel).
+    ``rest`` = coefficient refs (:func:`_cwins2`) + (ec_ref, z_out,
+    rz_ref)."""
+    crefs = rest[:-3]
+    ec_ref, z_out, rz_ref = rest[-3:]
     h = HALO
     b, g = pl.program_id(0), pl.program_id(1)
-    fst, lst = _edges2(g_total)
+    flags = _all_flags2(g_total, H // HALO, mf)
+    fst, lst = flags[0], flags[1]
 
     @pl.when(g == 0)
     def _init():
@@ -198,9 +301,7 @@ def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
     def _run():
         ew = _hwin2(en, eb, es_, fst, lst)
         rw = _hwin2(rn, rb, rs, fst, lst)
-        aww = _hwin2(awn, awb, aws, fst, lst)
-        anw = _hwin2(ann, anb, ans, fst, lst)
-        diw = _hwin2(din, dib, dis, fst, lst)
+        aww, anw, diw = _cwins2(crefs, flags, mf=mf, geom=geom)
 
         ec = ec_ref[0]
         nyc, nxc = ec.shape
@@ -221,6 +322,12 @@ def _pass_c(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb, ann, ans,
         for w in reversed(smoothing_schedule(omega, nu)):
             e = _smooth_w(aww, anw, diw, e, rw, w)
         zb = e[h:h + H]
+        if mf:
+            # matrix-free pads carry diag 0 (not the stored identity), so
+            # the prolongated correction at D == 0 pixels would never decay
+            # and p/x would drift there; pin z to 0 on non-physical pixels
+            # (their r is 0 identically, so rz is unaffected)
+            zb = jnp.where(_rd(crefs[0]) > 0, zb, jnp.zeros_like(zb))
         z_out[...] = zb.reshape(z_out.shape)
         rz_ref[b, 0] += jnp.sum(_rd(rb) * zb)
 
@@ -253,15 +360,35 @@ def _specs2(bsz, g_total, band, nx):
     return body, north, south
 
 
+def _d_halo_specs2(bsz, g_total, band, nx):
+    """Second-ring halo specs for the matrix-free D window: (north2,
+    south2) (HALO, nx) blocks at index g*q - 2 / (g+1)*q + 1 in HALO units
+    (one block beyond the _specs2 halos), clamped globally.  The kernels
+    zero-mask the clamped aliases (:func:`_dwin2`)."""
+    q = band // HALO
+    n_blocks = bsz * g_total * q
+    north2 = pl.BlockSpec(
+        (HALO, nx),
+        lambda b, g: (jnp.maximum((b * g_total + g) * q - 2, 0), 0),
+        memory_space=pltpu.VMEM)
+    south2 = pl.BlockSpec(
+        (HALO, nx),
+        lambda b, g: (jnp.minimum((b * g_total + g + 1) * q + 1,
+                                  n_blocks - 1), 0),
+        memory_space=pltpu.VMEM)
+    return north2, south2
+
+
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
-                                             "over", "band", "interpret"))
+                                             "over", "band", "interpret",
+                                             "geom"))
 @x32_kernel
 def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
                    p: jax.Array, rz: jax.Array, active: jax.Array,
                    stop: jax.Array, hi: jax.Array, k: jax.Array, *,
                    omega: float = 0.8, nu: int = 2, coarse_iters: int = 32,
                    over: float = 1.8, band: int = 256,
-                   interpret: bool = False):
+                   interpret: bool = False, d_field=None, geom=None):
     """Run up to ``k`` banded MGCG iterations on a (B, py, px) padded batch.
 
     Same contract as :func:`cgstep_vmem.cg_steps_pallas` (levels from
@@ -270,7 +397,17 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     A live image leaves the iteration loop when its recurrence sum|r|
     crosses ``stop`` (early exit) or ``hi`` (divergence tripwire); frozen
     (``active`` = 0) images pass through untouched.
-    """
+
+    MATRIX-FREE level 0: pass ``d_field`` (the PADDED (B, py, px)
+    diffusivity field, zero in the pads, strictly positive on real pixels)
+    + static ``geom = (fx, fy, bcf, nxr)`` (assembly factors for the
+    UNPADDED shape, see :func:`_coeffs_from_dwin2`) and the three passes
+    recompute the level-0 stencil windows in-VMEM from a double-halo D
+    window instead of streaming 3 stored coefficient fields — level-0
+    coefficient HBM reads drop 9 -> ~3.6 window-equivalents per iteration.
+    Only valid for the plain unmasked, unequilibrated operator
+    ``fvm_coefficients(d, cl, cr)`` (levels[0] must be exactly that,
+    padded); levels[1:] stay stored."""
     bsz, py, px = x.shape
     if py % band or band % HALO or nu > HALO - 2:
         raise ValueError(f"cg_steps_tiled: py={py} % band={band}, band a "
@@ -278,15 +415,29 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     c0 = levels[0]
     g_total = py // band
     dtype = x.dtype
+    mf = d_field is not None
+    if mf and geom is None:
+        raise ValueError("cg_steps_tiled: d_field requires geom")
 
     def fl(a):
         return a.reshape(bsz * py, px)
 
-    aw, an_, di = fl(c0.a_w), fl(c0.a_n), fl(c0.diag_inv)
-    coef_ops = [aw, aw, aw, an_, an_, an_, di, di, di]
-
     body, north, south = _specs2(bsz, g_total, band, px)
-    coef_specs = [body, north, south] * 3
+    if mf:
+        dfl = fl(d_field.astype(dtype))
+        north2, south2 = _d_halo_specs2(bsz, g_total, band, px)
+        coef_ops = [dfl, dfl, dfl, dfl, dfl]
+        coef_specs = [body, north2, north, south, south2]
+        # pin the non-physical (D == 0) pad pixels of the incoming state to
+        # 0: the initial p comes from the stored-coefficient refresh cycle,
+        # whose identity pad rows leak prolongated corrections there (see
+        # _pass_c's matching in-loop pin)
+        ind = (d_field > 0).astype(dtype)
+        x, r, p = x * ind, r * ind, p * ind
+    else:
+        aw, an_, di = fl(c0.a_w), fl(c0.a_n), fl(c0.diag_inv)
+        coef_ops = [aw, aw, aw, an_, an_, an_, di, di, di]
+        coef_specs = [body, north, south] * 3
     scal = _scal_spec(bsz)
     win_bytes = (band + 2 * HALO) * px * dtype.itemsize
     py1, px1 = levels[1].diag.shape[-2], levels[1].diag.shape[-1]
@@ -294,8 +445,14 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     def params(extra=0):
         if interpret:
             return {}
+        # mf: the in-kernel recompute materializes ~6 extra window-sized
+        # intermediates (dw, hx/hy, ae/as, diag) beyond the stored path's 3
+        # coefficient windows; clamp like the 3D engine (16 MB Mosaic floor,
+        # v5e physical ~128 MB ceiling)
+        mult = 32 if mf else 26
         return {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=int(26 * win_bytes + extra))}
+            vmem_limit_bytes=min(max(int(mult * win_bytes + extra), 16 << 20),
+                                 112 << 20))}
 
     scal_shape = jax.ShapeDtypeStruct((bsz, 1), dtype)
     flat_shape = jax.ShapeDtypeStruct((bsz * py, px), dtype)
@@ -309,8 +466,9 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     scal_out = pl.BlockSpec((bsz, 1), lambda b, g: (0, 0),
                             memory_space=pltpu.SMEM)
 
+    kargs = dict(g_total=g_total, mf=mf, geom=geom)
     pa = pl.pallas_call(
-        functools.partial(_pass_a, H=band, g_total=g_total),
+        functools.partial(_pass_a, H=band, **kargs),
         grid=(bsz, g_total),
         in_specs=[scal, scal] + [body, north, south] * 2 + coef_specs,
         out_shape=[flat_shape, scal_shape],
@@ -319,8 +477,7 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
         **params(),
     )
     pb_ = pl.pallas_call(
-        functools.partial(_pass_b, H=band, omega=omega, nu=nu,
-                          g_total=g_total),
+        functools.partial(_pass_b, H=band, omega=omega, nu=nu, **kargs),
         grid=(bsz, g_total),
         in_specs=[scal, scal, body] + [body, north, south] * 2 + coef_specs,
         out_shape=[flat_shape, flat_shape, flat_shape, rc_shape, scal_shape],
@@ -330,7 +487,7 @@ def cg_steps_tiled(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     )
     pc = pl.pallas_call(
         functools.partial(_pass_c, H=band, omega=omega, nu=nu, over=over,
-                          g_total=g_total),
+                          **kargs),
         grid=(bsz, g_total),
         in_specs=[scal] + [body, north, south] * 2 + coef_specs + [ec_spec],
         out_shape=[flat_shape, scal_shape],

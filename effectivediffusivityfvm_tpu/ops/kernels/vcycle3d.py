@@ -458,18 +458,26 @@ def _dwin5(db, dn2, dn1, ds1, ds2, *, f1, l1, f2, l2):
 def _coeffs_from_dwin(dw, *, fx, fy, fz, bcf, nxr):
     """Recompute the level-0 stencil windows (aw, an, au, diag_inv), each
     (BZ + 2*HALO_Z, ny, nx), from a double-halo D window — term-for-term
-    the assembly of fvm3d.fvm_coefficients_3d (harmonic_mean's reciprocal
-    form included, so a zero D on either side blocks the face), with the
+    the assembly of fvm3d.fvm_coefficients_3d (a zero D on either side
+    blocks the face exactly, see the harmonic-mean note below), with the
     Dirichlet diag add at the REAL x-boundary columns 0 and ``nxr - 1``
     (trailing x padding carries D = 0 -> zero coefficients + zero bc,
     i.e. fully decoupled rows; their diag is 0 instead of pad_op_3d's
     stored identity 1, which is equivalent because every field is 0
     there).  fx/fy/fz/bcf are the assembly's dy*dz/dx-style Python-float
-    factors for the UNPADDED domain shape."""
+    factors for the UNPADDED domain shape.
+
+    The harmonic mean uses the guarded PRODUCT form ``2ab/(a+b)`` (one VPU
+    divide) instead of assembly's reciprocal form ``2/(1/a+1/b)`` (three):
+    identical zero structure (either side 0 -> exactly 0; both 0, the pads,
+    guarded to 0), ~1-2 ulp apart on positive faces — the divides dominate
+    the recompute's VPU cost (measured on the 2D twin at 2048^2)."""
     h = HALO_Z
 
     def hm(a, b):
-        return 2.0 / (1.0 / a + 1.0 / b)
+        s = a + b
+        return jnp.where(s > 0, (2.0 * a) * b / jnp.where(s > 0, s, 1.0),
+                         jnp.zeros_like(s))
 
     hx = hm(dw[:, :, :-1], dw[:, :, 1:]) * fx
     hy = hm(dw[:, :-1, :], dw[:, 1:, :]) * fy

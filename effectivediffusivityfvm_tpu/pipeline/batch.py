@@ -262,12 +262,16 @@ def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
             check_every=cfg.check_every, criterion=cfg.criterion,
         )
     else:
+        # matrix-free level 0 measured NEUTRAL in 2D — see the gate note in
+        # pipeline/single.py; available via solve_mgcg_batched's d_field=
+        mf_ok = False
         res, dt = time_fn(
             solve_batched,
             cfg.solver, coeffs, spec, x0,
             omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
             check_every=cfg.check_every, criterion=cfg.criterion,
             **_pallas_kwargs(cfg),
+            **({"d_field": d_field} if mf_ok else {}),
         )
     deff = np.asarray(res.deff, np.float64) / cfg.d_fluid  # Deff2D.cuh:2017
     return deff, np.asarray(res.conv), np.asarray(res.iters), np.asarray(res.x), dt

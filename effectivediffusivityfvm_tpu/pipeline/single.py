@@ -124,6 +124,15 @@ def single_sim(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
     conv = float("nan")
     iters = 0
     time_s = 0.0
+    # the 2-phase system is exactly the unmasked fvm_coefficients(d), so
+    # mgcg's banded fused engine could recompute level 0 from D in-kernel
+    # (matrix-free, solve_mgcg's d_field=).  Measured NEUTRAL in 2D at
+    # 2048^2 (docs/PERFORMANCE.md round-4 notes: the banded engine is
+    # compute/launch-bound, not coefficient-traffic-bound, so the saved
+    # reads buy back only what the in-kernel recompute costs) — unlike 3D
+    # (pipeline/volume.py), where 4 stored fields make it a real win.
+    # Kept off by default here; flip to enable.
+    mf_ok = False
     for dcf in dcf_stages(cfg.d_fluid):
         d_field = jnp.asarray(
             phases.d_field_from_classes(classes, dcf, cfg.d_solid, dtype=dtype)
@@ -141,6 +150,7 @@ def single_sim(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
             max_iter=cfg.max_iter,
             check_every=cfg.check_every,
             criterion=cfg.criterion,
+            **({"d_field": d_field} if mf_ok else {}),
         )
         x = res.x
         deff = float(res.deff) / dcf

@@ -232,7 +232,8 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
 
 def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
                     criterion, nu, mg_omega, coarse_iters, min_size, over,
-                    interpret=False, engine="vmem") -> SolveResult:
+                    d_field=None, interpret=False,
+                    engine="vmem") -> SolveResult:
     """Batched MGCG with a whole-iteration fused engine: k = check_every
     full PCG iterations per launch.  ``engine="vmem"`` keeps the CG state
     resident in VMEM (cgstep_vmem.py, fine grids that fit);
@@ -241,6 +242,13 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
     divergence/freeze semantics mirror ``pcg.run_pcg`` (chunked checks,
     true-residual refresh, best-iterate snapshot); monitors are evaluated
     on the physical (unpadded) cells.
+
+    ``d_field`` (optional, (B, ny, nx), tiled engine only) switches the
+    engine's level 0 matrix-free — only valid when ``coeffs`` is exactly
+    the plain unmasked ``fvm_coefficients(d_field, cl, cr)``; see
+    cg_steps_tiled.  Ignored by the vmem engine (its pyramid is
+    VMEM-resident, so recomputing would trade nearly-free reads for VPU
+    divisions).
     """
     bsz, ny, nx = coeffs.b.shape
     dtype = x0.dtype
@@ -254,12 +262,19 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         py, px = tiled_pad_shape(ny, nx, band)
         levels = build_hierarchy(_pad_op(coeffs, py - ny, px - nx),
                                  min_size=min_size, pad_levels=True)
+        if d_field is not None:
+            d_p = jnp.pad(d_field.astype(dtype),
+                          [(0, 0), (0, py - ny), (0, px - nx)])
+            dx, dy = 1.0 / nx, 1.0 / ny
+            geom = (dy / dx, dx / dy, dy / (dx / 2.0), nx)
+        else:
+            d_p, geom = None, None
 
         def cg_steps(x, r, p, rz, active, stop_s, hi_s, k):
             return cg_steps_tiled(
                 levels, x, r, p, rz, active, stop_s, hi_s, k,
                 omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
-                band=band, interpret=interpret)
+                band=band, interpret=interpret, d_field=d_p, geom=geom)
 
         def cycle(r):
             return v_cycle_tiled(levels, r, omega=mg_omega,
@@ -419,7 +434,7 @@ def _pallas_auto(coeffs, nu1, nu2, min_size):
 
 def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                batched, nu1, nu2, omega, coarse_iters, min_size, over,
-               use_pallas=None, pallas_interpret=False):
+               use_pallas=None, pallas_interpret=False, d_field=None):
     if use_pallas is None:
         use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
         if use_pallas is True:
@@ -439,11 +454,14 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             lambda a: a[None], coeffs)
         hier_spec = spec if batched else jax.tree.map(
             lambda a: jnp.asarray(a)[None], spec)
+        if d_field is not None and not batched:
+            d_field = d_field[None]
         res = _run_mgcg_fused(
             hier_coeffs, hier_spec, x0 if batched else x0[None],
             tol=tol, max_iter=max_iter, check_every=check_every,
             criterion=criterion, nu=nu1, mg_omega=omega,
             coarse_iters=coarse_iters, min_size=min_size, over=over,
+            d_field=d_field if use_pallas == "tiled" else None,
             interpret=pallas_interpret,
             engine="tiled" if use_pallas == "tiled" else "vmem")
         if not batched:
@@ -522,7 +540,8 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                criterion: str = "residual", nu1: int = 1, nu2: int = 1,
                mg_omega: float = 0.8, coarse_iters: int = 32,
                min_size: int = 8, over: float = 1.8,
-               use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
+               use_pallas=None, pallas_interpret: bool = False,
+               d_field=None) -> SolveResult:
     """Multigrid-preconditioned CG, single image.  ``omega`` ignored
     (signature parity).
 
@@ -530,12 +549,20 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     fp32 V(1,1) when the hierarchy fits VMEM; ops/kernels/vcycle_vmem.py —
     requires the symmetric assembly, which every pipeline provides via
     needs_spd); True/False forces.  ``pallas_interpret`` runs the kernel in
-    interpreter mode (CPU tests)."""
+    interpreter mode (CPU tests).
+
+    ``d_field``: optionally the raw diffusivity field behind ``coeffs``.
+    When ``coeffs`` is exactly the plain unmasked, unequilibrated
+    ``fvm_coefficients(d_field, cl, cr)``, the banded fused engine (grids
+    past the VMEM cap) recomputes its level-0 stencil in-kernel from D
+    instead of streaming 3 stored coefficient fields (matrix-free; see
+    cg_steps_tiled).  Ignored by the other engines."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,
                       coarse_iters=coarse_iters, min_size=min_size, over=over,
-                      use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+                      use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+                      d_field=d_field)
 
 
 @functools.partial(
@@ -550,9 +577,12 @@ def solve_mgcg_batched(coeffs, spec, x0, *, omega: float = 0.0,
                        nu1: int = 1, nu2: int = 1, mg_omega: float = 0.8,
                        coarse_iters: int = 32, min_size: int = 8,
                        over: float = 1.8,
-                       use_pallas=None, pallas_interpret: bool = False) -> SolveResult:
+                       use_pallas=None, pallas_interpret: bool = False,
+                       d_field=None) -> SolveResult:
+    """Batched :func:`solve_mgcg` (see it for ``d_field``)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=True, nu1=nu1, nu2=nu2, omega=mg_omega,
                       coarse_iters=coarse_iters, min_size=min_size, over=over,
-                      use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+                      use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+                      d_field=d_field)

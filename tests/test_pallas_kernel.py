@@ -318,6 +318,33 @@ class TestTPUSmoke:
         np.testing.assert_allclose(np.asarray(grz[:, 0]), np.asarray(rzc),
                                    rtol=1e-3)
 
+    def test_tiled_cgstep_matrix_free_compiled(self):
+        # 2D matrix-free banded engine (round-4: in-kernel level-0 stencil
+        # recompute from a double-halo D window) vs the stored-coefficient
+        # engine, compiled on chip; 1024^2 with use_pallas="tiled" gives a
+        # 2-band grid so the second-ring halo BlockSpecs lower through
+        # Mosaic with real cross-band reads
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            solve_mgcg_batched)
+
+        rng = np.random.default_rng(7)
+        n = 1024
+        d = jnp.asarray(
+            np.where(rng.random((1, n, n)) < 0.6, 1.0, 1e-3), jnp.float32)
+        c = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(
+            d, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(d, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32) / n,
+                              (1, n, n))
+        kw = dict(tol=1e-4, max_iter=200, check_every=10,
+                  criterion="relresidual", nu1=2, nu2=2,
+                  use_pallas="tiled")
+        ref = solve_mgcg_batched(c, spec, x0, **kw)
+        got = solve_mgcg_batched(c, spec, x0, d_field=d, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-4)
+        np.testing.assert_allclose(np.asarray(got.deff),
+                                   np.asarray(ref.deff), rtol=1e-3)
+
     def test_vcycle3d_kernels_compiled(self):
         # 3D whole-VMEM + banded cycles (ops/kernels/vcycle3d.py) vs the
         # XLA 3D cycle on a real chip (round-3: the 3D fusion ladder)
@@ -530,6 +557,116 @@ class TestFusedCGStep:
         np.testing.assert_allclose(np.asarray(grz[:, 0]), np.asarray(rzc),
                                    rtol=1e-3)
 
+    def test_tiled_engine_matrix_free_matches_stored(self, rng):
+        """Matrix-free level 0 on an unpadded grid (band-multiple rows,
+        lane-quantum cols): the recomputed windows are ulp-equal to stored
+        coefficients (test_coeffs_from_dwin2_matches_assembly below), so
+        the solve matches the stored-coefficient engine to rounding with
+        identical iteration counts."""
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            solve_mgcg_batched)
+
+        bsz, ny, nx = 2, 24, 256
+        d = np.exp(rng.uniform(0, np.log(1e4), (bsz, ny, nx)))
+        dj = jnp.asarray(d, jnp.float64)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(
+            dj, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx,
+                              (bsz, ny, nx))
+        kw = dict(tol=1e-8, max_iter=200, check_every=10,
+                  criterion="residual", nu1=2, nu2=2,
+                  use_pallas="tiled", pallas_interpret=True)
+        ref = solve_mgcg_batched(coeffs, spec, x0, **kw)
+        got = solve_mgcg_batched(coeffs, spec, x0, d_field=dj, **kw)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(got.deff),
+                                   np.asarray(ref.deff), rtol=1e-9)
+        np.testing.assert_array_equal(np.asarray(got.iters),
+                                      np.asarray(ref.iters))
+
+    def test_tiled_engine_matrix_free_padded(self, rng):
+        """Matrix-free level 0 with padding on both axes (the pads carry
+        diag 0 instead of the stored identity — a numerically different
+        but equivalent padded system): converged results match the XLA
+        engine."""
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            solve_mgcg_batched)
+
+        bsz, ny, nx = 2, 20, 28
+        d = np.exp(rng.uniform(0, np.log(1e4), (bsz, ny, nx)))
+        dj = jnp.asarray(d, jnp.float64)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(
+            dj, 0.0, 1.0)
+        spec = jax.vmap(make_flux_spec, in_axes=(0, None, None))(dj, 0.0, 1.0)
+        x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float64) / nx,
+                              (bsz, ny, nx))
+        kw = dict(tol=1e-8, max_iter=300, check_every=10,
+                  criterion="residual", nu1=2, nu2=2)
+        ref = solve_mgcg_batched(coeffs, spec, x0, use_pallas=False, **kw)
+        got = solve_mgcg_batched(coeffs, spec, x0, use_pallas="tiled",
+                                 pallas_interpret=True, d_field=dj, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-8)
+        np.testing.assert_allclose(np.asarray(got.deff),
+                                   np.asarray(ref.deff), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                                   rtol=1e-4, atol=1e-8)
+
+    def test_tiled_engine_matrix_free_multiband(self, rng):
+        """Direct multi-band engine run (band=16, 4 bands): the matrix-free
+        second-ring in-array D halos (real cross-band reads at interior
+        bands, zero-masked at image edges, clamped across images) reproduce
+        the stored-coefficient engine bit-tightly in f64 on the physical
+        region.  Pads differ by design: the stored hierarchy leaks ~1e-6
+        prolongation junk into pad cells via a real/pad aggregate straddle
+        at the deepest coarse level (decoupled from the real system at
+        fine levels — harmless), while the matrix-free engine pins pads to
+        exactly 0."""
+        from effectivediffusivityfvm_tpu.ops.kernels.cgstep_tiled import (
+            cg_steps_tiled)
+        from effectivediffusivityfvm_tpu.ops.kernels.vcycle_tiled import (
+            tiled_pad_shape, v_cycle_tiled)
+        from effectivediffusivityfvm_tpu.solvers.multigrid import (
+            _pad_op, build_hierarchy)
+
+        band, ny, nx, bsz, k = 16, 64, 24, 2, 4
+        d = np.exp(rng.uniform(0, np.log(1e3), (bsz, ny, nx)))
+        dj = jnp.asarray(d, jnp.float64)
+        coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(
+            dj, 0.0, 1.0)
+        py, px = tiled_pad_shape(ny, nx, band)
+        d_pad = jnp.pad(dj, [(0, 0), (0, py - ny), (0, px - nx)])
+        lv = build_hierarchy(_pad_op(coeffs, py - ny, px - nx),
+                             min_size=4, pad_levels=True)
+        dx, dy = 1.0 / nx, 1.0 / ny
+        geom = (dy / dx, dx / dy, dy / (dx / 2.0), nx)
+        mg = dict(omega=0.8, nu=2, coarse_iters=16, over=1.8)
+
+        def cyc(r):
+            return v_cycle_tiled(lv, r, band=band, interpret=True, **mg)
+
+        x = jnp.zeros((bsz, py, px), jnp.float64)
+        r = lv[0].b
+        z = cyc(r)
+        rz = jnp.sum(r * z, axis=(-2, -1))
+        ones = jnp.ones((bsz, 1), jnp.float64)
+        args = (lv, x, r, z, rz[:, None], ones, 0.0 * ones, 1e30 * ones,
+                jnp.asarray(k, jnp.int32))
+        sx, sr, sp, srz, sk = cg_steps_tiled(*args, band=band,
+                                             interpret=True, **mg)
+        gx, gr, gp, grz, gk = cg_steps_tiled(*args, band=band,
+                                             interpret=True,
+                                             d_field=d_pad, geom=geom, **mg)
+        np.testing.assert_array_equal(np.asarray(gk), np.asarray(sk))
+        scale = float(jnp.max(jnp.abs(sx)))
+        np.testing.assert_allclose(np.asarray(gx)[:, :ny, :nx],
+                                   np.asarray(sx)[:, :ny, :nx],
+                                   atol=1e-10 * scale, rtol=1e-10)
+        assert np.all(np.asarray(gx)[:, :, nx:] == 0.0)
+        np.testing.assert_allclose(np.asarray(grz), np.asarray(srz),
+                                   rtol=1e-9)
+
     def test_fused_single_image_wrapper(self, rng):
         from effectivediffusivityfvm_tpu.solvers.multigrid import solve_mgcg
 
@@ -542,3 +679,79 @@ class TestFusedCGStep:
         got = solve_mgcg(c1, s1, x0[0], use_pallas="cgstep",
                          pallas_interpret=True, **kw)
         np.testing.assert_allclose(float(got.deff), float(ref.deff), rtol=1e-8)
+
+
+def test_coeffs_from_dwin2_matches_assembly(rng):
+    """Matrix-free level-0 window recompute (cgstep_tiled._coeffs_from_dwin2)
+    vs fvm_coefficients + _pad_op windows, for every band of a 2-image
+    batch with padding on both axes — including the global y-edge bands
+    (zero-masked halo blocks), the cross-image block clamps, the padded x
+    columns (no Dirichlet add past the real nx), and the padded pixels
+    where the recompute's diag_inv is 0 instead of the stored identity's 1
+    (equivalent: every field is pinned to 0 there)."""
+    from effectivediffusivityfvm_tpu.ops.kernels.cgstep_tiled import (
+        _coeffs_from_dwin2)
+    from effectivediffusivityfvm_tpu.ops.kernels.vcycle_tiled import (
+        HALO, tiled_pad_shape)
+    from effectivediffusivityfvm_tpu.solvers.multigrid import _pad_op
+
+    bsz, nyr, nxr = 2, 27, 21
+    band = 2 * HALO                                     # q = 2
+    py, px = tiled_pad_shape(nyr, nxr, band)
+    d = np.exp(rng.uniform(np.log(1e-3), np.log(1e3), (bsz, nyr, nxr)))
+    dj = jnp.asarray(d, jnp.float32)
+    coeffs = jax.vmap(fvm.fvm_coefficients, in_axes=(0, None, None))(
+        dj, 0.0, 1.0)
+    cp = _pad_op(coeffs, py - nyr, px - nxr)
+    d_pad = jnp.pad(dj, [(0, 0), (0, py - nyr), (0, px - nxr)])
+
+    dx, dy = 1.0 / nxr, 1.0 / nyr
+    fx, fy, bcf = dy / dx, dx / dy, dy / (dx / 2.0)
+
+    G, q, h = py // band, band // HALO, HALO
+    n_blocks = bsz * G * q
+    flat_d = np.asarray(d_pad).reshape(bsz * py, px)
+    # padded-pixel mask on the flattened layout (y pad is per-image)
+    yloc = np.arange(bsz * py) % py
+    padmask = (yloc[:, None] >= nyr) | (np.arange(px)[None, :] >= nxr)
+
+    stored = {k: np.asarray(getattr(cp, k)).reshape(bsz * py, px)
+              for k in ("a_w", "a_n", "diag_inv")}
+
+    def hblock(arr, flag, i):
+        v = arr[min(max(i, 0), n_blocks - 1) * h:][:h]
+        return np.zeros_like(v) if flag else v
+
+    for b in range(bsz):
+        for g in range(G):
+            base = (b * G + g) * q
+            f1, l1 = g == 0, g == G - 1
+            f2 = g * q < 2
+            l2 = (g + 1) * q + 1 > G * q - 1
+            body = flat_d[base * h:(base + q) * h]
+            dw = np.concatenate([
+                hblock(flat_d, f2, base - 2), hblock(flat_d, f1, base - 1),
+                body, hblock(flat_d, l1, base + q),
+                hblock(flat_d, l2, base + q + 1)], axis=0)
+            aw, an, di = (np.asarray(v) for v in _coeffs_from_dwin2(
+                jnp.asarray(dw), fx=fx, fy=fy, bcf=bcf, nxr=nxr))
+
+            def swin(arr):
+                return np.concatenate([
+                    hblock(arr, f1, base - 1), arr[base * h:(base + q) * h],
+                    hblock(arr, l1, base + q)], axis=0)
+
+            # guarded-product harmonic mean: ~1-2 ulp from assembly's
+            # reciprocal form on positive faces, identical zero structure
+            saw, san = swin(stored["a_w"]), swin(stored["a_n"])
+            np.testing.assert_allclose(aw, saw, rtol=1e-6)
+            np.testing.assert_allclose(an, san, rtol=1e-6)
+            np.testing.assert_array_equal(aw == 0.0, saw == 0.0)
+            np.testing.assert_array_equal(an == 0.0, san == 0.0)
+            pm = swin(padmask.astype(np.float32)) > 0
+            di_exp = np.where(pm, 0.0, swin(stored["diag_inv"]))
+            np.testing.assert_allclose(di, di_exp.astype(np.float32),
+                                       rtol=1e-5)
+            np.testing.assert_array_equal(di == 0.0, di_exp == 0.0)
+            # the documented equivalence: stored identity 1, recompute 0
+            assert np.all(swin(stored["diag_inv"])[pm] == 1.0)
