@@ -208,13 +208,50 @@ def _coef_windows(sharded_levels, axis_name):
     return out
 
 
+def build_fused_tail(sharded_levels, axis_name, min_size):
+    """Early-gather whole-VMEM tail for the fused recursion (the
+    launch-bound remainder of docs/PERFORMANCE.md jump #11): find the
+    FIRST coarse level whose full gathered grid fits the whole-VMEM cycle
+    kernel, all_gather its operator ONCE per solve, and build the
+    pad_levels replicated hierarchy from it.  The fused recursion then
+    runs everything from that level as ONE ``v_cycle_pallas`` call per
+    application — each shard redundantly computes the full coarse cycle
+    (in-VMEM sweeps are nearly free, ~70 Gcell/s resident) — instead of 2
+    kernels + 2 halo exchanges per remaining level plus the all-gathered
+    XLA coarse soup.  Same math as the sharded recursion (the gathered
+    local-coarsened operator equals the global Galerkin operator), so
+    results agree to kernel rounding.  Returns ``(tail_level,
+    tail_levels)`` or ``(None, None)`` when no level qualifies."""
+    from ..ops.kernels.vcycle_vmem import vcycle_fits_vmem
+    from ..solvers.multigrid import build_hierarchy
+
+    n_sh = jax.lax.axis_size(axis_name)
+    for lvl in range(1, len(sharded_levels)):
+        c = sharded_levels[lvl]
+        ny_l, nx_l = c.diag.shape[-2], c.diag.shape[-1]
+        full = ny_l * n_sh
+        if not vcycle_fits_vmem(full + full % 2, nx_l + nx_l % 2,
+                                c.diag.dtype.itemsize):
+            continue
+        gathered = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, axis_name, axis=a.ndim - 2,
+                                         tiled=True), c)
+        gb = gathered if gathered.diag.ndim == 3 else jax.tree.map(
+            lambda a: a[None], gathered)
+        levels = build_hierarchy(gb, min_size=min_size, pad_levels=True)
+        return lvl, levels
+    return None, None
+
+
 def v_cycle_sharded_fused(sharded_levels, replicated_levels, coef_wins, r, *,
                           nu, omega, coarse_iters, over, axis_name,
-                          level=0, interpret=False):
+                          level=0, interpret=False, tail=None):
     """Fused sharded V(nu, nu) cycle: per-shard whole-block Pallas T1/T2
     with HALO-strip ppermutes; XLA fallback (parallel/halo.py) for levels
     that fail :func:`fused_shard_level_ok`; replicated tail shared with the
-    XLA path.  ``r`` is (..., ny_local, nx) — batch dims normalized here.
+    XLA path, or the early-gather whole-VMEM tail when ``tail`` (from
+    :func:`build_fused_tail`) is set.  ``r`` is (..., ny_local, nx) —
+    batch dims normalized here.
 
     The top-level call traces under ``jax.enable_x64(False)`` when the
     operands are f32 (the x32_kernel guard, see vcycle_vmem.py): Mosaic
@@ -225,11 +262,12 @@ def v_cycle_sharded_fused(sharded_levels, replicated_levels, coef_wins, r, *,
             return _v_cycle_sharded_fused_impl(
                 sharded_levels, replicated_levels, coef_wins, r, nu=nu,
                 omega=omega, coarse_iters=coarse_iters, over=over,
-                axis_name=axis_name, level=level, interpret=interpret)
+                axis_name=axis_name, level=level, interpret=interpret,
+                tail=tail)
     return _v_cycle_sharded_fused_impl(
         sharded_levels, replicated_levels, coef_wins, r, nu=nu, omega=omega,
         coarse_iters=coarse_iters, over=over, axis_name=axis_name,
-        level=level, interpret=interpret)
+        level=level, interpret=interpret, tail=tail)
 
 
 def _band_from_windows(body, north, south, band):
@@ -245,7 +283,7 @@ def _band_from_windows(body, north, south, band):
 
 def _banded_level(sharded_levels, replicated_levels, coef_wins, rb, coefs,
                   band, batched, *, nu, omega, coarse_iters, over,
-                  axis_name, level, interpret):
+                  axis_name, level, interpret, tail=None):
     """In-shard banded T1/T2 for local blocks past the whole-window VMEM
     cap: vcycle_tiled's T1 kernel per band + the band-offset T2
     (_t2b_kernel), shard-edge halos from the ring neighbors."""
@@ -287,7 +325,7 @@ def _banded_level(sharded_levels, replicated_levels, coef_wins, rb, coefs,
         sharded_levels, replicated_levels, coef_wins,
         rc if batched else rc[0], nu=nu, omega=omega,
         coarse_iters=coarse_iters, over=over, axis_name=axis_name,
-        level=level + 1, interpret=interpret)
+        level=level + 1, interpret=interpret, tail=tail)
     ecb3 = e_c if batched else e_c[None]
     ecn, ecs = _halo_strips(ecb3, axis_name, HALO // 2)
     ec_aug = jnp.concatenate([ecn, ecb3, ecs], axis=1)
@@ -319,8 +357,31 @@ def _banded_level(sharded_levels, replicated_levels, coef_wins, rb, coefs,
 
 def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
                                 r, *, nu, omega, coarse_iters, over,
-                                axis_name, level, interpret):
+                                axis_name, level, interpret, tail=None):
     from .halo import _v_cycle_sharded_2d
+
+    if tail is not None and tail[0] is not None and level == tail[0]:
+        # early-gather whole-VMEM tail (build_fused_tail): one fused cycle
+        # kernel for every remaining level, computed redundantly per shard
+        from ..ops.kernels.vcycle_vmem import v_cycle_pallas
+
+        tail_levels = tail[1]
+        batched = r.ndim == 3
+        rb = r if batched else r[None]
+        ny_local = rb.shape[-2]
+        r_full = jax.lax.all_gather(rb, axis_name, axis=1, tiled=True)
+        ny_f, nx_f = r_full.shape[-2], r_full.shape[-1]
+        py, px = tail_levels[0].diag.shape[-2:]
+        if (py, px) != (ny_f, nx_f):
+            r_full = jnp.pad(r_full,
+                             [(0, 0), (0, py - ny_f), (0, px - nx_f)])
+        e_full = v_cycle_pallas(tail_levels, r_full, omega=omega, nu=nu,
+                                coarse_iters=coarse_iters, over=over,
+                                interpret=interpret)[..., :ny_f, :nx_f]
+        idx = jax.lax.axis_index(axis_name)
+        e = jax.lax.dynamic_slice_in_dim(e_full, idx * ny_local, ny_local,
+                                         axis=1)
+        return e if batched else e[0]
 
     if level == len(sharded_levels):
         r_full = jax.lax.all_gather(r, axis_name, axis=r.ndim - 2, tiled=True)
@@ -351,7 +412,7 @@ def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
                              rb, coefs, band, batched, nu=nu, omega=omega,
                              coarse_iters=coarse_iters, over=over,
                              axis_name=axis_name, level=level,
-                             interpret=interpret)
+                             interpret=interpret, tail=tail)
 
     rn, rs = _halo_strips(rb, axis_name, HALO)
     body, halo = _spec(ny_l, nx_l), _spec(HALO, nx_l)
@@ -378,7 +439,8 @@ def _v_cycle_sharded_fused_impl(sharded_levels, replicated_levels, coef_wins,
     e_c = _v_cycle_sharded_fused_impl(
         sharded_levels, replicated_levels, coef_wins, rc_r, nu=nu,
         omega=omega, coarse_iters=coarse_iters, over=over,
-        axis_name=axis_name, level=level + 1, interpret=interpret)
+        axis_name=axis_name, level=level + 1, interpret=interpret,
+        tail=tail)
     ecb = e_c if batched else e_c[None]
     ecn, ecs = _halo_strips(ecb, axis_name, HALO // 2)
 

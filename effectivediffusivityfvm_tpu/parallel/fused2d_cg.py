@@ -234,7 +234,7 @@ def _pc_cg_banded(live_ref, eb, en, es_, rb, rn, rs, awb, awn, aws, anb,
 def _cg_steps_sharded_banded(sharded_levels, replicated_levels, coef_wins,
                              x, r, p, rz, active, stop_sum, hi_sum, k, *,
                              band, nu, omega, coarse_iters, over, axis_name,
-                             reduce_any, interpret):
+                             reduce_any, interpret, tail=None):
     """In-shard BANDED fused sharded CG iterations: local blocks past the
     whole-window VMEM cap run each PCG iteration as the banded-engine
     passes of ops/kernels/cgstep_tiled.py (grid (B, G), partials
@@ -349,7 +349,7 @@ def _cg_steps_sharded_banded(sharded_levels, replicated_levels, coef_wins,
         e_c = _v_cycle_sharded_fused_impl(
             sharded_levels, replicated_levels, coef_wins, rc, nu=nu,
             omega=omega, coarse_iters=coarse_iters, over=over,
-            axis_name=axis_name, level=1, interpret=interpret)
+            axis_name=axis_name, level=1, interpret=interpret, tail=tail)
         ecn, ecs = _halo_strips(e_c, axis_name, HALO // 2)
         ec_aug = jnp.concatenate([ecn, e_c, ecs], axis=1)
 
@@ -388,7 +388,8 @@ def _sspec(bsz):
 
 def _cg_steps_sharded(sharded_levels, replicated_levels, coef_wins, x, r, p,
                       rz, active, stop_sum, hi_sum, k, *, nu, omega,
-                      coarse_iters, over, axis_name, reduce_any, interpret):
+                      coarse_iters, over, axis_name, reduce_any, interpret,
+                      tail=None):
     """Up to ``k`` fused sharded MGCG iterations; same contract as
     cgstep_vmem.cg_steps_pallas per local (B, ny_l, nx) batch, scalars
     psum'd over ``axis_name``.  Returns (x, r, p, rz, kdone)."""
@@ -469,7 +470,7 @@ def _cg_steps_sharded(sharded_levels, replicated_levels, coef_wins, x, r, p,
         e_c = _v_cycle_sharded_fused_impl(
             sharded_levels, replicated_levels, coef_wins, rc, nu=nu,
             omega=omega, coarse_iters=coarse_iters, over=over,
-            axis_name=axis_name, level=1, interpret=interpret)
+            axis_name=axis_name, level=1, interpret=interpret, tail=tail)
         ecn, ecs = _halo_strips(e_c, axis_name, HALO // 2)
         en, es_ = _halo_strips(e_b, axis_name, HALO)
         rn2, rs2 = _halo_strips(r_new, axis_name, HALO)
@@ -539,6 +540,7 @@ def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
     sharded_levels, replicated_levels = build_hier(
         cb, ny_l, axis_name, min_size=min_size)
     coef_wins = _coef_windows(sharded_levels, axis_name)
+    tail = fused2d.build_fused_tail(sharded_levels, axis_name, min_size)
 
     def psum_s(v):
         return jax.lax.psum(v, axis_name)
@@ -570,7 +572,7 @@ def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
         return _v_cycle_sharded_fused_impl(
             sharded_levels, replicated_levels, coef_wins, r, nu=nu,
             omega=mg_omega, coarse_iters=coarse_iters, over=over,
-            axis_name=axis_name, level=0, interpret=interpret)
+            axis_name=axis_name, level=0, interpret=interpret, tail=tail)
 
     band = fused2d.shard_band(ny_l, nx, dtype.itemsize)
 
@@ -580,12 +582,12 @@ def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
                 sharded_levels, replicated_levels, coef_wins, x, r, p, rz,
                 active, stop_s, hi_s, k, nu=nu, omega=mg_omega,
                 coarse_iters=coarse_iters, over=over, axis_name=axis_name,
-                reduce_any=reduce_any, interpret=interpret)
+                reduce_any=reduce_any, interpret=interpret, tail=tail)
         return _cg_steps_sharded_banded(
             sharded_levels, replicated_levels, coef_wins, x, r, p, rz,
             active, stop_s, hi_s, k, band=band, nu=nu, omega=mg_omega,
             coarse_iters=coarse_iters, over=over, axis_name=axis_name,
-            reduce_any=reduce_any, interpret=interpret)
+            reduce_any=reduce_any, interpret=interpret, tail=tail)
 
     b_p = cb.b
     bscale = mean_abs(b_p) if criterion == "relresidual" else None

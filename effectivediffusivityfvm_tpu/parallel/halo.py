@@ -388,16 +388,18 @@ def _mgcg_runner(mesh, batched, tol, max_iter, check_every, criterion, nu1,
             c_l, x0_l.shape[-2], spatial_axis, min_size=min_size)
 
         if use_pallas:
-            from .fused2d import _coef_windows, v_cycle_sharded_fused
+            from .fused2d import (_coef_windows, build_fused_tail,
+                                  v_cycle_sharded_fused)
 
             coef_wins = _coef_windows(sharded_levels, spatial_axis)
+            tail = build_fused_tail(sharded_levels, spatial_axis, min_size)
 
             def precond(r):
                 return v_cycle_sharded_fused(
                     sharded_levels, replicated_levels, coef_wins, r,
                     nu=nu1, omega=mg_omega, coarse_iters=coarse_iters,
                     over=over, axis_name=spatial_axis,
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret, tail=tail)
         else:
             def precond(r):
                 return _v_cycle_sharded_2d(
