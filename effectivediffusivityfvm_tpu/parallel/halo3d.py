@@ -234,22 +234,20 @@ def _coarsen_local(c_l: StencilCoeffs3D, axis_name: str) -> StencilCoeffs3D:
     the mirrored ``a_u`` of the first coarse plane comes from the PREVIOUS
     shard's last coarse ``a_d`` via ppermute.  Requires even local nz.
     """
-    from ..solvers.solvers3d import _blocks3, restrict_3d
+    from ..solvers.solvers3d import _xsum, _ysum, _zsum, restrict_3d
 
-    ae_b = _blocks3(c_l.a_e)
-    as_b = _blocks3(c_l.a_s)
-    ad_b = _blocks3(c_l.a_d)
+    # slice-pair formulation (see solvers3d.coarsen_3d: ~60x faster on TPU
+    # than the blocked (K,2,I,2,J,2) reshape)
+    t_e = _zsum(_ysum(c_l.a_e))          # (..., K, I, nx)
+    a_e_c = t_e[..., 1::2]
+    t_s = _xsum(_zsum(c_l.a_s))          # (..., K, ny, J)
+    a_s_c = t_s[..., 1::2, :]
+    t_d = _ysum(_xsum(c_l.a_d))          # (..., nz, I, J)
+    a_d_c = t_d[..., 1::2, :, :]
 
-    a_e_c = ae_b[..., :, :, :, :, :, 1].sum(axis=(-4, -2))
-    a_s_c = as_b[..., :, :, :, 1, :, :].sum(axis=(-4, -1))
-    a_d_c = ad_b[..., :, 1, :, :, :, :].sum(axis=(-3, -1))
-
-    internal = (
-        ae_b[..., :, :, :, :, :, 0].sum(axis=(-4, -2))
-        + as_b[..., :, :, :, 0, :, :].sum(axis=(-4, -1))
-        + ad_b[..., :, 0, :, :, :, :].sum(axis=(-3, -1))
-    )
-    diag_c = restrict_3d(c_l.diag) - 2.0 * internal
+    internal = t_e[..., 0::2] + t_s[..., 0::2, :] + t_d[..., 0::2, :, :]
+    diag_r = restrict_3d(c_l.diag)
+    diag_c = diag_r - 2.0 * internal
     b_c = restrict_3d(c_l.b)
 
     # x/y mirrors are local exactly as in the unsharded case
@@ -272,7 +270,7 @@ def _coarsen_local(c_l: StencilCoeffs3D, axis_name: str) -> StencilCoeffs3D:
         halo = jnp.zeros_like(last_ad)
     a_u_c = jnp.concatenate([halo, a_d_c[..., :-1, :, :]], axis=-3)
 
-    floor = jnp.asarray(1e-6, diag_c.dtype) * restrict_3d(c_l.diag)
+    floor = jnp.asarray(1e-6, diag_c.dtype) * diag_r
     ok = diag_c > floor
     diag_inv = jnp.where(ok, 1.0 / jnp.where(ok, diag_c, 1.0), 0.0)
     return StencilCoeffs3D(a_w_c, a_e_c, a_n_c, a_s_c, a_u_c, a_d_c,

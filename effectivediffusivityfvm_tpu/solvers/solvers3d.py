@@ -60,13 +60,22 @@ def _pad_even_3d(c: StencilCoeffs3D) -> StencilCoeffs3D:
     )
 
 
-def _blocks3(a):
-    nz, ny, nx = a.shape[-3:]
-    return a.reshape(a.shape[:-3] + (nz // 2, 2, ny // 2, 2, nx // 2, 2))
+def _zsum(a):
+    """Pair-sum the z axis via stride-2 slices (keeps full lane layouts)."""
+    return a[..., 0::2, :, :] + a[..., 1::2, :, :]
+
+
+def _ysum(a):
+    return a[..., 0::2, :] + a[..., 1::2, :]
+
+
+def _xsum(a):
+    s = a.shape
+    return a.reshape(s[:-1] + (s[-1] // 2, 2)).sum(-1)
 
 
 def restrict_3d(r):
-    return _blocks3(r).sum(axis=(-5, -3, -1))
+    return _xsum(_ysum(_zsum(r)))
 
 
 def prolong_3d(e):
@@ -80,26 +89,24 @@ def coarsen_3d(c: StencilCoeffs3D) -> StencilCoeffs3D:
     (closed form; the 3D analog of the 2D derivation in
     solvers/multigrid.py)."""
     c = _pad_even_3d(c)
-    ae_b = _blocks3(c.a_e)   # (..., K,2, I,2, J,2)
-    as_b = _blocks3(c.a_s)
-    ad_b = _blocks3(c.a_d)
 
-    # crossing faces: fine couplings at odd index along their axis, summed
-    # over the block's other two axes.  Block layout after _blocks3 is
-    # (..., K, 2z, I, 2y, J, 2x); selecting one block axis shifts the
-    # positions of the remaining two:
-    a_e_c = ae_b[..., :, :, :, :, :, 1].sum(axis=(-4, -2))   # left: (K,2z,I,2y,J)
-    a_s_c = as_b[..., :, :, :, 1, :, :].sum(axis=(-4, -1))   # left: (K,2z,I,J,2x)
-    a_d_c = ad_b[..., :, 1, :, :, :, :].sum(axis=(-3, -1))   # left: (K,I,2y,J,2x)
+    # Pair-sum two block axes first with stride-2 slices (which XLA lowers
+    # to full-lane adds), THEN pick crossing (odd) vs internal (even) faces
+    # along the coupling's own axis.  The earlier (K,2,I,2,J,2) blocked
+    # reshape forced 2-element lane layouts on TPU and ran ~60x slower on
+    # a 256^3 level (measured: 55.4 ms -> 0.9 ms, benchmarks/bench_coarsen3d.py).
+    t_e = _zsum(_ysum(c.a_e))            # (..., K, I, nx)
+    a_e_c = t_e[..., 1::2]               # crossing x faces
+    t_s = _xsum(_zsum(c.a_s))            # (..., K, ny, J)
+    a_s_c = t_s[..., 1::2, :]
+    t_d = _ysum(_xsum(c.a_d))            # (..., nz, I, J)
+    a_d_c = t_d[..., 1::2, :, :]
 
-    # internal (within-block) couplings at even index along their axis
-    internal = (
-        ae_b[..., :, :, :, :, :, 0].sum(axis=(-4, -2))
-        + as_b[..., :, :, :, 0, :, :].sum(axis=(-4, -1))
-        + ad_b[..., :, 0, :, :, :, :].sum(axis=(-3, -1))
-    )
+    # internal (within-block) couplings: even index along their axis
+    internal = t_e[..., 0::2] + t_s[..., 0::2, :] + t_d[..., 0::2, :, :]
 
-    diag_c = restrict_3d(c.diag) - 2.0 * internal
+    diag_r = restrict_3d(c.diag)
+    diag_c = diag_r - 2.0 * internal
     b_c = restrict_3d(c.b)
 
     zx = jnp.zeros_like(a_e_c[..., :, :, :1])
@@ -112,7 +119,7 @@ def coarsen_3d(c: StencilCoeffs3D) -> StencilCoeffs3D:
     a_d_c = jnp.concatenate([a_d_c[..., :-1, :, :], zz], axis=-3)
     a_u_c = jnp.concatenate([zz, a_d_c[..., :-1, :, :]], axis=-3)
 
-    floor = jnp.asarray(1e-6, diag_c.dtype) * restrict_3d(c.diag)
+    floor = jnp.asarray(1e-6, diag_c.dtype) * diag_r
     ok = diag_c > floor
     diag_inv = jnp.where(ok, 1.0 / jnp.where(ok, diag_c, 1.0), 0.0)
     return StencilCoeffs3D(a_w_c, a_e_c, a_n_c, a_s_c, a_u_c, a_d_c,
