@@ -85,9 +85,29 @@ def main(n: int = 256):
         b_c = xsum(ysum(zsum(cc.b)))
         return a_e_c, a_s_c, a_d_c, internal, diag_c, b_c
 
+    def finish(a_e_c, a_s_c, a_d_c, internal, diag_c, b_c):
+        """Mirror/zero-edge concats + floor/diag_inv, matching the tail of
+        solvers3d.coarsen_3d so the timed work is apples-to-apples with
+        variant_base (ADVICE r4)."""
+        zx = jnp.zeros_like(a_e_c[..., :, :, :1])
+        zy = jnp.zeros_like(a_s_c[..., :, :1, :])
+        zz = jnp.zeros_like(a_d_c[..., :1, :, :])
+        a_e_m = jnp.concatenate([a_e_c[..., :, :, :-1], zx], axis=-1)
+        a_w_m = jnp.concatenate([zx, a_e_m[..., :, :, :-1]], axis=-1)
+        a_s_m = jnp.concatenate([a_s_c[..., :, :-1, :], zy], axis=-2)
+        a_n_m = jnp.concatenate([zy, a_s_m[..., :, :-1, :]], axis=-2)
+        a_d_m = jnp.concatenate([a_d_c[..., :-1, :, :], zz], axis=-3)
+        a_u_m = jnp.concatenate([zz, a_d_m[..., :-1, :, :]], axis=-3)
+        diag_r = diag_c + 2.0 * internal
+        floor = jnp.asarray(1e-6, diag_c.dtype) * diag_r
+        ok = diag_c > floor
+        diag_inv = jnp.where(ok, 1.0 / jnp.where(ok, diag_c, 1.0), 0.0)
+        return solvers3d.StencilCoeffs3D(
+            a_w_m, a_e_m, a_n_m, a_s_m, a_u_m, a_d_m, diag_c, diag_inv, b_c)
+
     def variant_slices(cc):
-        return core(cc, xsum_reshape,
-                    lambda a: a[..., 1::2], lambda a: a[..., 0::2])
+        return finish(*core(cc, xsum_reshape,
+                            lambda a: a[..., 1::2], lambda a: a[..., 0::2]))
 
     def variant_matmul(cc):
         nx = cc.a_e.shape[-1]
@@ -95,14 +115,11 @@ def main(n: int = 256):
         mm = lambda a, M: jax.lax.dot_general(
             a, M, (((a.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
-        return core(cc, lambda a: mm(a, S),
-                    lambda a: mm(a, Eo), lambda a: mm(a, Ee))
+        return finish(*core(cc, lambda a: mm(a, S),
+                            lambda a: mm(a, Eo), lambda a: mm(a, Ee)))
 
     def variant_base(cc):
-        cl = solvers3d.coarsen_3d(cc)
-        # recover the raw reductions for comparison: base returns the full
-        # StencilCoeffs3D; compare a_e/a_s/a_d/diag/b after the mirror step
-        return cl
+        return solvers3d.coarsen_3d(cc)
 
     def sumall(f):
         return jax.jit(lambda cc: sum(
@@ -114,18 +131,17 @@ def main(n: int = 256):
     base_t, fs_t, fm_t = (sumall(variant_base), sumall(variant_slices),
                           sumall(variant_matmul))
 
-    # correctness: rebuild the mirror/floor steps around slices output and
-    # compare against base
+    # correctness: every variant now returns the full finished
+    # StencilCoeffs3D — compare leaves directly against base
     out_b = jax.tree.map(np.asarray, base(c))
     for name, f in (("slices", f_s), ("matmul", f_m)):
-        a_e_c, a_s_c, a_d_c, internal, diag_c, b_c = [
-            np.asarray(a) for a in f(c)]
-        zx = np.zeros_like(a_e_c[..., :, :, :1])
-        a_e_m = np.concatenate([a_e_c[..., :, :, :-1], zx], axis=-1)
-        err = np.max(np.abs(a_e_m - out_b.a_e)) / max(np.max(np.abs(out_b.a_e)), 1e-30)
-        errd = np.max(np.abs(diag_c - out_b.diag)) / np.max(np.abs(out_b.diag))
-        errb = np.max(np.abs(b_c - out_b.b)) / max(np.max(np.abs(out_b.b)), 1e-30)
-        print(f"{name}: rel err a_e {err:.2e}, diag {errd:.2e}, b {errb:.2e}")
+        out_v = jax.tree.map(np.asarray, f(c))
+        errs = {
+            k: np.max(np.abs(getattr(out_v, k) - getattr(out_b, k)))
+            / max(np.max(np.abs(getattr(out_b, k))), 1e-30)
+            for k in ("a_e", "diag", "b")}
+        print(f"{name}: rel err a_e {errs['a_e']:.2e}, "
+              f"diag {errs['diag']:.2e}, b {errs['b']:.2e}")
 
     t_n = timed(jax.jit(lambda cc: cc.diag[0, 0, 0, 0] + 1.0), c,
                 name="null")
@@ -135,8 +151,8 @@ def main(n: int = 256):
     nb, ns, nm = t_b - t_n, t_s - t_n, t_m - t_n
     print(f"null   {t_n*1e3:7.2f} ms (dispatch floor, subtracted below)")
     print(f"base   {nb*1e3:7.2f} ms")
-    print(f"slices {ns*1e3:7.2f} ms   ({nb/ns:.2f}x)")
-    print(f"matmul {nm*1e3:7.2f} ms   ({nb/nm:.2f}x)")
+    print(f"slices {ns*1e3:7.2f} ms   ({nb/max(ns, 1e-9):.2f}x)")
+    print(f"matmul {nm*1e3:7.2f} ms   ({nb/max(nm, 1e-9):.2f}x)")
 
 
 if __name__ == "__main__":
