@@ -46,17 +46,22 @@ __all__ = ["cg_steps_pallas", "cgstep_fits_vmem"]
 
 
 def cgstep_fits_vmem(ny: int, nx: int, itemsize: int = 4) -> bool:
-    """Pyramid (~4 planes) + x/r/p in+out (x2 double-buffered) + cycle
-    temporaries — ~26 fine-plane equivalents must fit the raised VMEM
+    """Pyramid (~4 planes) + x/r/p in+out (x2 double-buffered) + b + cycle
+    temporaries — ~28 fine-plane equivalents must fit the raised VMEM
     budget."""
-    return 26 * ny * nx * itemsize < 100 * 1024 * 1024
+    return 28 * ny * nx * itemsize < 100 * 1024 * 1024
 
 
 def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
-            *rest, shapes, omega, nu, coarse_iters, over):
+            *rest, shapes, omega, nu, coarse_iters, over, refresh):
     n_levels = len(shapes)
+    if refresh:
+        b_ref, rest = rest[0], rest[1:]
     coef_refs = rest[:3 * n_levels]
-    xo_ref, ro_ref, po_ref, rzo_ref, ko_ref = rest[3 * n_levels:]
+    if refresh:
+        xo_ref, ro_ref, po_ref, rzo_ref, ko_ref, sro_ref = rest[3 * n_levels:]
+    else:
+        xo_ref, ro_ref, po_ref, rzo_ref, ko_ref = rest[3 * n_levels:]
     # scalars ride SMEM as full (1, B) arrays (Mosaic's block divisibility
     # rule rejects (1, 1) blocks).  ROW-major layout matters: SMEM windows
     # pad each row to 512 B, so (B, 1) costs 512 B/image — 6 such windows
@@ -119,10 +124,28 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
                 rz_ref[0, pid], jnp.sum(jnp.abs(r0)))
         i, x, r, p, rz, _sr = jax.lax.while_loop(cond, one, init)
         xo_ref[0] = x
-        ro_ref[0] = r
-        po_ref[0] = p
-        rzo_ref[0, pid] = rz
         ko_ref[0, pid] = i
+        if refresh:
+            # IN-KERNEL true-residual refresh + restart: the driver's
+            # per-check r = b - A x, z = M r, <r, z> used to run as XLA ops
+            # over the full batch every launch round (~16 ms/round at
+            # batch 256x512^2, frozen images included).  Computing it here
+            # costs ~0.7 iteration-equivalents of in-VMEM work, is
+            # predicated off for frozen images, and returns the restarted
+            # (r, p=z, rz) directly — the driver keeps only the scalar
+            # monitors.  sum|r_true| is returned for the driver's mean-|r|
+            # checks (padded cells carry exact zeros).
+            r_t = b_ref[0] - matvec(x)
+            z_t = _cycle_value(r_t, lvl, shapes, omega, nu, coarse_iters,
+                               over, sels)
+            ro_ref[0] = r_t
+            po_ref[0] = z_t
+            rzo_ref[0, pid] = jnp.sum(r_t * z_t)
+            sro_ref[0, pid] = jnp.sum(jnp.abs(r_t))
+        else:
+            ro_ref[0] = r
+            po_ref[0] = p
+            rzo_ref[0, pid] = rz
 
     @pl.when(act <= 0)
     def _skip():
@@ -131,17 +154,19 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
         po_ref[0] = p_ref[0]
         rzo_ref[0, pid] = rz_ref[0, pid]
         ko_ref[0, pid] = 0
+        if refresh:
+            sro_ref[0, pid] = jnp.sum(jnp.abs(r_ref[0]))
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",
-                                             "over", "interpret"))
+                                             "over", "interpret", "refresh"))
 @x32_kernel
 def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
                     p: jax.Array, rz: jax.Array, active: jax.Array,
                     stop: jax.Array, hi: jax.Array,
                     k: jax.Array, *, omega: float = 0.8, nu: int = 2,
                     coarse_iters: int = 32, over: float = 1.8,
-                    interpret: bool = False):
+                    interpret: bool = False, refresh: bool = False):
     """Run up to ``k`` fused MGCG iterations on a (B, py, px) padded batch.
 
     Args:
@@ -154,8 +179,12 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
       hi: per-image divergence threshold on sum|r| (pass a huge value to
         disable), (B, 1).
       k: traced int32 iteration cap (scalar prefetch).
+      refresh: fuse the per-check true-residual refresh + restart into the
+        kernel tail (active images only): returns r = b - A x, p = z =
+        M r, rz = <r, z> already restarted, plus sum|r_true| per image.
     Returns:
-      (x, r, p, rz, k_done) — k_done (B, 1) int32 iterations executed.
+      (x, r, p, rz, k_done) — k_done (B, 1) int32 iterations executed —
+      plus sum|r_true| (B, 1) when ``refresh``.
     """
     bsz, py, px = x.shape
     shapes = tuple((c.diag.shape[-2], c.diag.shape[-1]) for c in levels)
@@ -173,6 +202,9 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
     in_specs = [scal, scal, scal, scal, img, img, img]
     operands = [row(active), row(rz.astype(x.dtype)),
                 row(stop.astype(x.dtype)), row(hi.astype(x.dtype)), x, r, p]
+    if refresh:
+        in_specs.append(img)
+        operands.append(levels[0].b)
     for c, (sy, sx) in zip(levels, shapes):
         spec_l = pl.BlockSpec((1, sy, sx), lambda b, kk: (b, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -180,14 +212,16 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
             in_specs.append(spec_l)
             operands.append(plane)
 
+    n_scal_out = 3 if refresh else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz,),
         in_specs=in_specs,
-        out_specs=[img, img, img, scal, scal],
+        out_specs=[img, img, img] + [scal] * n_scal_out,
     )
     pyramid = sum(sy * sx for sy, sx in shapes)
-    limit = int(4.6 * (2 * (3 * pyramid + 6 * py * px) + 2 * pyramid
+    nplane = 7 if refresh else 6           # x/r/p in+out (+ b when refresh)
+    limit = int(4.6 * (2 * (3 * pyramid + nplane * py * px) + 2 * pyramid
                        + 8 * py * px))     # 1.15x headroom on the estimate
     # Mosaic schedules WITHIN the budget (double-buffering adapts), but a
     # marginal budget fails at some batch counts (measured: batch 64 fit a
@@ -198,14 +232,20 @@ def cg_steps_pallas(levels: List[StencilCoeffs], x: jax.Array, r: jax.Array,
             vmem_limit_bytes=min(max(2 * limit, 48 << 20), 112 << 20))}
 
     kernel = functools.partial(_kernel, shapes=shapes, omega=omega, nu=nu,
-                               coarse_iters=coarse_iters, over=over)
-    xo, ro, po, rzo, ko = pl.pallas_call(
+                               coarse_iters=coarse_iters, over=over,
+                               refresh=refresh)
+    out = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 3
         + [jax.ShapeDtypeStruct((1, bsz), x.dtype),
-           jax.ShapeDtypeStruct((1, bsz), jnp.int32)],
+           jax.ShapeDtypeStruct((1, bsz), jnp.int32)]
+        + ([jax.ShapeDtypeStruct((1, bsz), x.dtype)] if refresh else []),
         grid_spec=grid_spec,
         interpret=interpret,
         **params,
     )(jnp.asarray(k, jnp.int32).reshape(1), *operands)
-    return xo, ro, po, rzo.reshape(bsz, 1), ko.reshape(bsz, 1)
+    xo, ro, po, rzo, ko = out[:5]
+    res = (xo, ro, po, rzo.reshape(bsz, 1), ko.reshape(bsz, 1))
+    if refresh:
+        res = res + (out[5].reshape(bsz, 1),)
+    return res

@@ -256,14 +256,22 @@ def v_cycle3d_pallas(levels: List[StencilCoeffs3D], r: jax.Array, *,
 # z-slab banded cycle
 # --------------------------------------------------------------------------
 
-def band_z_for(nz: int, ny: int, nx: int, itemsize: int = 4) -> int:
-    """Largest z-band whose T1/T2 working set (~18 window fields incl.
-    double-buffering) fits the VMEM budget.  Always a multiple of HALO_Z
-    (the in-array halo BlockSpecs index in HALO_Z-block units)."""
+def band_z_for(nz: int, ny: int, nx: int, itemsize: int = 4,
+               fields: int = 18) -> int:
+    """Largest z-band whose T1/T2 working set (``fields`` window fields
+    incl. double-buffering; ~18 for the stored-coefficient passes) fits the
+    VMEM budget.  Always a multiple of HALO_Z (the in-array halo BlockSpecs
+    index in HALO_Z-block units).
+
+    ``fields``: the MATRIX-FREE engine passes (cgstep3d.py, level 0
+    recomputed from a 5-block D window instead of 12 stored-coefficient
+    blocks) carry a ~12-field working set, which admits a 2x band at 256^3
+    (8 -> 16), cutting the (band + 2*HALO_Z)/band halo-overlap factor
+    2.0 -> 1.5."""
     budget = 100 * 1024 * 1024
     plane = ny * nx * itemsize
     for bz in (64, 32, 16, 8, 4):
-        if 18 * (bz + 2 * HALO_Z) * plane < budget:
+        if fields * (bz + 2 * HALO_Z) * plane < budget:
             if bz >= nz:            # one band covers the volume; keep the
                 return -(-nz // HALO_Z) * HALO_Z   # block quantum anyway
             return bz

@@ -233,7 +233,7 @@ def v_cycle(levels: List[fvm.StencilCoeffs], r, *, nu1=1, nu2=1,
 def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
                     criterion, nu, mg_omega, coarse_iters, min_size, over,
                     d_field=None, interpret=False,
-                    engine="vmem") -> SolveResult:
+                    engine="vmem", first_window=1) -> SolveResult:
     """Batched MGCG with a whole-iteration fused engine: k = check_every
     full PCG iterations per launch.  ``engine="vmem"`` keeps the CG state
     resident in VMEM (cgstep_vmem.py, fine grids that fit);
@@ -291,7 +291,7 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
             return cg_steps_pallas(
                 levels, x, r, p, rz, active, stop_s, hi_s, k,
                 omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
-                interpret=interpret)
+                interpret=interpret, refresh=True)
 
         def cycle(r):
             return v_cycle_pallas(levels, r, omega=mg_omega,
@@ -348,27 +348,36 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         pc, it = c[8], c[5]
         return jnp.any(tol_ < jnp.abs(pc)) & (it < max_iter)
 
+    kernel_refresh = engine == "vmem"
+
     def body(c):
         (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
          bad) = c
         active = tol_ < jnp.abs(pc)
-        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        k = jnp.where(it == 0, jnp.minimum(first_window, max_iter),
+                      jnp.minimum(check_every, max_iter - it))
         hi_sum = 1e3 * best * npts    # in-kernel divergence tripwire
-        x, r, p, rz1, kdone = cg_steps(
+        out = cg_steps(
             x, r, p, rz[:, None], active.astype(dtype)[:, None],
             stop_sum[:, None], hi_sum[:, None], k)
+        x, r, p, rz1, kdone = out[:5]
         rz = rz1[:, 0]
         it_new = it + k
         iters = iters + jnp.where(active, kdone[:, 0], 0)
-        do_check = ((it_new - 1) % check_every) == 0
+        do_check = ((it_new - first_window) % check_every) == 0
 
-        r_true, z_true, rz_true = fresh(x)
-        refresh = expand(do_check & active)
-        r = jnp.where(refresh, r_true, r)
-        p = jnp.where(refresh, z_true, p)
-        rz = jnp.where(do_check & active, rz_true, rz)
-
-        r_mean = mean_abs(r_true)
+        if kernel_refresh:
+            # the vmem engine refreshes + restarts in-kernel (active
+            # images only; cgstep_vmem refresh=True): r = b - A x, p = z,
+            # rz = <r, z> arrive restarted, sum|r_true| rides out[5]
+            r_mean = out[5][:, 0] / npts
+        else:
+            r_true, z_true, rz_true = fresh(x)
+            refresh = expand(do_check & active)
+            r = jnp.where(refresh, r_true, r)
+            p = jnp.where(refresh, z_true, p)
+            rz = jnp.where(do_check & active, rz_true, rz)
+            r_mean = mean_abs(r_true)
         improved = do_check & active & (r_mean < best)
         x_best = jnp.where(expand(improved), x, x_best)
         best = jnp.where(improved, r_mean, best)
@@ -434,7 +443,8 @@ def _pallas_auto(coeffs, nu1, nu2, min_size):
 
 def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                batched, nu1, nu2, omega, coarse_iters, min_size, over,
-               use_pallas=None, pallas_interpret=False, d_field=None):
+               use_pallas=None, pallas_interpret=False, d_field=None,
+               first_window=1):
     if use_pallas is None:
         use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
         if use_pallas is True:
@@ -463,7 +473,8 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             coarse_iters=coarse_iters, min_size=min_size, over=over,
             d_field=d_field if use_pallas == "tiled" else None,
             interpret=pallas_interpret,
-            engine="tiled" if use_pallas == "tiled" else "vmem")
+            engine="tiled" if use_pallas == "tiled" else "vmem",
+            first_window=first_window)
         if not batched:
             res = jax.tree.map(lambda a: a[0], res)
         return res
@@ -533,7 +544,7 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
                      "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over",
-                     "use_pallas", "pallas_interpret"),
+                     "use_pallas", "pallas_interpret", "first_window"),
 )
 def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                max_iter: int = 10_000, check_every: int = 0,
@@ -541,7 +552,7 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                mg_omega: float = 0.8, coarse_iters: int = 32,
                min_size: int = 8, over: float = 1.8,
                use_pallas=None, pallas_interpret: bool = False,
-               d_field=None) -> SolveResult:
+               d_field=None, first_window: int = 1) -> SolveResult:
     """Multigrid-preconditioned CG, single image.  ``omega`` ignored
     (signature parity).
 
@@ -556,20 +567,33 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     ``fvm_coefficients(d_field, cl, cr)``, the banded fused engine (grids
     past the VMEM cap) recomputes its level-0 stencil in-kernel from D
     instead of streaming 3 stored coefficient fields (matrix-free; see
-    cg_steps_tiled).  Ignored by the other engines."""
+    cg_steps_tiled).  Ignored by the other engines.
+
+    ``first_window``: iterations in the FIRST fused-kernel launch window
+    (fused engines only; the XLA engine always checks after iteration 1).
+    The default 1 checks early — right for warm-started pipeline stages
+    that may already satisfy the criterion at x0.  Cold batched solves
+    whose criterion supports the in-kernel early exit (residual/
+    relresidual) can pass ``first_window=check_every`` to skip the
+    1-iteration launch + refresh round entirely: converged images still
+    stop in-kernel at the same threshold, and the bench-medium schedule
+    (20, 20, ...) saves one full launch + true-residual refresh per batch.
+    Avoid with criterion="deff" (no
+    in-kernel stop: every image would run first_window blind
+    iterations)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,
                       coarse_iters=coarse_iters, min_size=min_size, over=over,
                       use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-                      d_field=d_field)
+                      d_field=d_field, first_window=first_window)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
                      "nu1", "nu2", "mg_omega", "coarse_iters", "min_size", "over",
-                     "use_pallas", "pallas_interpret"),
+                     "use_pallas", "pallas_interpret", "first_window"),
 )
 def solve_mgcg_batched(coeffs, spec, x0, *, omega: float = 0.0,
                        tol: float = 1e-8, max_iter: int = 10_000,
@@ -578,11 +602,12 @@ def solve_mgcg_batched(coeffs, spec, x0, *, omega: float = 0.0,
                        coarse_iters: int = 32, min_size: int = 8,
                        over: float = 1.8,
                        use_pallas=None, pallas_interpret: bool = False,
-                       d_field=None) -> SolveResult:
-    """Batched :func:`solve_mgcg` (see it for ``d_field``)."""
+                       d_field=None, first_window: int = 1) -> SolveResult:
+    """Batched :func:`solve_mgcg` (see it for ``d_field`` and
+    ``first_window``)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=True, nu1=nu1, nu2=nu2, omega=mg_omega,
                       coarse_iters=coarse_iters, min_size=min_size, over=over,
                       use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-                      d_field=d_field)
+                      d_field=d_field, first_window=first_window)

@@ -296,21 +296,28 @@ def _pallas_auto_3d(coeffs, nu1, nu2):
 
 def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
                       criterion, nu, mg_omega, coarse_iters, min_size, over,
-                      d_field=None, interpret=False) -> SolveResult:
+                      d_field=None, interpret=False,
+                      first_window=1) -> SolveResult:
     """Batched 3D MGCG on the banded fused engine: k = check_every full PCG
     iterations per launch (ops/kernels/cgstep3d.py), check/restart/
     divergence/freeze semantics mirroring the 2D fused driver
     (solvers/multigrid._run_mgcg_fused).  ``d_field`` (optional) switches
     the engine's level 0 matrix-free — see cg_steps3d_tiled."""
     from ..ops.kernels.cgstep3d import cg_steps3d_tiled
-    from ..ops.kernels.vcycle3d import (band_z_for, pad_op_3d, pad_shape_3d,
-                                        v_cycle3d_tiled)
+    from ..ops.kernels.vcycle3d import (HALO_Z, band_z_for, pad_op_3d,
+                                        pad_shape_3d, v_cycle3d_tiled)
 
     bsz, nz, ny, nx = coeffs.b.shape
     dtype = x0.dtype
     tol_ = jnp.asarray(tol, dtype)
 
-    band = band_z_for(nz, ny + ny % 2, nx + nx % 2, coeffs.diag.dtype.itemsize)
+    mf = d_field is not None
+    itemsize = coeffs.diag.dtype.itemsize
+    # The matrix-free engine's window working set is ~12 fields (5-block D
+    # window replaces 12 stored-coefficient blocks), which admits a larger
+    # band than the stored passes — see band_z_for.
+    band = band_z_for(nz, ny + ny % 2, nx + nx % 2, itemsize,
+                      fields=12 if mf else 18)
     pz, py, px = pad_shape_3d(nz, ny, nx, band)
     levels = build_hierarchy_3d(
         pad_op_3d(coeffs, pz - nz, py - ny, px - nx),
@@ -341,10 +348,19 @@ def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
             omega=mg_omega, nu=nu, coarse_iters=coarse_iters, over=over,
             band=band, interpret=interpret, d_field=d_p, geom=geom)
 
+    if mf:
+        # the refresh cycle streams STORED coefficients (18-field working
+        # set): give it its own band, shrunk until it divides the padded nz
+        band_cyc = band_z_for(pz, py, px, itemsize)
+        while pz % band_cyc:
+            band_cyc -= HALO_Z
+    else:
+        band_cyc = band
+
     def cycle(r):
         return v_cycle3d_tiled(levels, r, omega=mg_omega, nu=nu,
                                coarse_iters=coarse_iters, over=over,
-                               band=band, interpret=interpret)
+                               band=band_cyc, interpret=interpret)
 
     b_p = lvl0.b
     x_p = pad_to(x0)
@@ -387,7 +403,8 @@ def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
          bad) = c
         active = tol_ < jnp.abs(pc)
-        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        k = jnp.where(it == 0, jnp.minimum(first_window, max_iter),
+                      jnp.minimum(check_every, max_iter - it))
         hi_sum = 1e3 * best * npts
         x, r, p, rz1, kdone = cg_steps(
             x, r, p, rz[:, None], active.astype(dtype)[:, None],
@@ -395,7 +412,7 @@ def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         rz = rz1[:, 0]
         it_new = it + k
         iters = iters + jnp.where(active, kdone[:, 0], 0)
-        do_check = ((it_new - 1) % check_every) == 0
+        do_check = ((it_new - first_window) % check_every) == 0
 
         r_true, z_true, rz_true = fresh(x)
         refresh = expand(do_check & active)
@@ -485,7 +502,8 @@ def solve_cg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e
 
 def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                 batched, nu1, nu2, mg_omega, coarse_iters, min_size, over,
-                use_pallas=None, pallas_interpret=False, d_field=None):
+                use_pallas=None, pallas_interpret=False, d_field=None,
+                first_window=1):
     if use_pallas is None:
         use_pallas = _pallas_auto_3d(coeffs, nu1, nu2)
 
@@ -501,7 +519,8 @@ def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
             tol=tol, max_iter=max_iter, check_every=check_every,
             criterion=criterion, nu=nu1, mg_omega=mg_omega,
             coarse_iters=coarse_iters, min_size=min_size, over=over,
-            d_field=d_field, interpret=pallas_interpret)
+            d_field=d_field, interpret=pallas_interpret,
+            first_window=first_window)
         if not batched:
             res = jax.tree.map(lambda a: a[0], res)
         return res
@@ -518,7 +537,8 @@ def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
                      "nu1", "nu2", "mg_omega", "coarse_iters", "min_size",
-                     "over", "use_pallas", "pallas_interpret"),
+                     "over", "use_pallas", "pallas_interpret",
+                     "first_window"),
 )
 def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                   max_iter: int = 10_000, check_every: int = 0,
@@ -526,7 +546,7 @@ def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
                   mg_omega: float = 0.8, coarse_iters: int = 32,
                   min_size: int = 4, over: float = 1.8,
                   use_pallas=None, pallas_interpret: bool = False,
-                  d_field=None) -> SolveResult:
+                  d_field=None, first_window: int = 1) -> SolveResult:
     """3D multigrid-PCG.  ``use_pallas``: None = auto (the banded fused
     whole-CG-iteration engine on TPU fp32 V(nu, nu) — ops/kernels/
     cgstep3d.py); False forces the XLA path; "tiled3d" forces the fused
@@ -537,20 +557,25 @@ def solve_mgcg_3d(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     ``fvm_coefficients_3d(d_field, cl, cr)``, the fused engine recomputes
     its level-0 stencil from D in-kernel instead of streaming 4 stored
     coefficient fields (matrix-free level 0 — ~1.4x on the engine's
-    per-iteration HBM traffic).  Ignored on the XLA path."""
+    per-iteration HBM traffic).  Ignored on the XLA path.
+
+    ``first_window``: iterations in the first fused-engine launch window
+    (fused engine only) — see solvers/multigrid.solve_mgcg."""
     return _mgcg3_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                        check_every=driver.resolve_check_every(check_every, 10),
                        criterion=criterion, batched=False, nu1=nu1, nu2=nu2,
                        mg_omega=mg_omega, coarse_iters=coarse_iters,
                        min_size=min_size, over=over, use_pallas=use_pallas,
-                       pallas_interpret=pallas_interpret, d_field=d_field)
+                       pallas_interpret=pallas_interpret, d_field=d_field,
+                       first_window=first_window)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "tol", "max_iter", "check_every", "criterion",
                      "nu1", "nu2", "mg_omega", "coarse_iters", "min_size",
-                     "over", "use_pallas", "pallas_interpret"),
+                     "over", "use_pallas", "pallas_interpret",
+                     "first_window"),
 )
 def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
                           tol: float = 1e-8, max_iter: int = 10_000,
@@ -559,11 +584,13 @@ def solve_mgcg_3d_batched(coeffs, spec, x0, *, omega: float = 0.0,
                           coarse_iters: int = 32, min_size: int = 4,
                           over: float = 1.8,
                           use_pallas=None, pallas_interpret: bool = False,
-                          d_field=None) -> SolveResult:
+                          d_field=None,
+                          first_window: int = 1) -> SolveResult:
     """Batched :func:`solve_mgcg_3d` (see it for ``d_field``)."""
     return _mgcg3_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                        check_every=driver.resolve_check_every(check_every, 10),
                        criterion=criterion, batched=True, nu1=nu1, nu2=nu2,
                        mg_omega=mg_omega, coarse_iters=coarse_iters,
                        min_size=min_size, over=over, use_pallas=use_pallas,
-                       pallas_interpret=pallas_interpret, d_field=d_field)
+                       pallas_interpret=pallas_interpret, d_field=d_field,
+                       first_window=first_window)

@@ -248,3 +248,14 @@ def test_band_z_for_small_volume():
     assert band_z_for(9, 10, 14) == 12
     # large xy planes force narrow bands
     assert band_z_for(256, 512, 512) <= 8
+
+
+def test_band_z_for_matrix_free_fields():
+    # the matrix-free engine's ~12-field working set admits a 2x band at
+    # 256^3 (halo-overlap factor 2.0 -> 1.5); stored stays at 8
+    assert band_z_for(256, 256, 256) == 8
+    assert band_z_for(256, 256, 256, fields=12) == 16
+    # smaller working sets never shrink the band
+    for shp in ((64, 64, 64), (128, 128, 128), (256, 256, 256),
+                (512, 512, 512)):
+        assert band_z_for(*shp, fields=12) >= band_z_for(*shp)

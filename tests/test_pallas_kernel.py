@@ -431,6 +431,21 @@ class TestFusedCGStep:
                                    rtol=1e-6, atol=1e-9)
         assert np.all(np.abs(np.asarray(got.iters) - np.asarray(ref.iters)) <= 10)
 
+    def test_fused_first_window_converges_identically(self, rng):
+        """first_window=check_every skips the 1-iteration opening launch
+        (solvers/multigrid._run_mgcg_fused): the solve must still converge
+        to the same tolerance and Deff; only the check/restart cadence
+        (hence possibly the iteration count) may differ."""
+        solve, coeffs, spec, x0 = self._problem(rng)
+        kw = dict(tol=1e-9, max_iter=500, check_every=10,
+                  criterion="residual", nu1=2, nu2=2,
+                  use_pallas="cgstep", pallas_interpret=True)
+        ref = solve(coeffs, spec, x0, **kw)
+        got = solve(coeffs, spec, x0, first_window=10, **kw)
+        assert np.all(np.asarray(got.conv) <= 1e-9)
+        np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
+                                   rtol=1e-7)
+
     def test_fused_chebyshev_schedule_matches_xla(self, rng):
         """Per-sweep omega schedules (smoothing_schedule): fused engine ==
         XLA engine with the same tuple, and tuple(w, w) == scalar w."""
