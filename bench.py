@@ -51,11 +51,14 @@ os.environ.setdefault("DEFF_MM_PREC", "split2")
 # the same chip, and replicating the SAME 64 images 4x reproduces the gain
 # (1156), so it is mechanical amortization of the ~30 ms fixed per-launch
 # cost (dispatch + monitor/refresh + relay fetch), not easier marginal
-# images.  Batch 512 runs (after the (1,B) SMEM scalar transpose in
-# cgstep_vmem.py) but measures 1150 — the amortization tail (+~3%
-# projected) loses to harder marginal images on this medium (a batch's
-# wall tracks its SLOWEST image; max iters 31 -> 43); 256 ships.
-BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "256"))
+# images.  Round 4 measured batch 512 at 1150 — the amortization tail
+# lost to harder marginal images (a batch's wall tracks its SLOWEST
+# image).  Round 5's in-kernel refresh + first_window moved the knee:
+# with the per-check fixed cost mostly gone, 512 @ check_every=40
+# measures 1615 vs 256 @ 20 at 1500 (benchmarks/bench_cadence5.py;
+# cadence 20/30/40 tie within chip noise at batch 256, and the early
+# exit keeps blind windows cheap).  Batch 1024 exhausts HBM.  512 ships.
+BATCH = int(os.environ.get("DEFF_BENCH_BATCH", "512"))
 SIZE = 512
 TOL = 1e-6
 POROSITY = 0.65          # fluid fraction (percolating)
@@ -176,9 +179,11 @@ def main():
     # refresh round (the in-kernel early exit covers already-converged
     # images for the residual criterion); schedule becomes 20, 20, ...
     # instead of 1, 20, 20, ...
-    kw = dict(tol=TOL, max_iter=3_000, check_every=20, criterion="residual",
+    # -> 1615: batch 512 @ check_every=40 (the knee moved once the
+    # per-check cost went in-kernel; see the BATCH note above).
+    kw = dict(tol=TOL, max_iter=3_000, check_every=40, criterion="residual",
               min_size=8, coarse_iters=8, nu1=2, nu2=2, over=1.8,
-              mg_omega=(1.281, 0.5584), first_window=20)
+              mg_omega=(1.281, 0.5584), first_window=40)
 
     # warmup: compile + one full solve
     t0 = time.perf_counter()
