@@ -110,6 +110,19 @@ class SimulationConfig:
                                       #   error if unsupported), "interpret"
                                       #   (fused kernel in interpreter mode —
                                       #   CPU tests / dryruns)
+    first_window: int = 0             # "FirstWindow:" — iterations in the FIRST
+                                      #   fused-mgcg launch window.  0 = auto:
+                                      #   check_every for the residual/
+                                      #   relresidual criteria (cold solves skip
+                                      #   the 1-iteration opening launch +
+                                      #   refresh round; converged/warm images
+                                      #   still stop in-kernel at the same
+                                      #   threshold — measured +26% on the 512^2
+                                      #   batch bench, r5), 1 for criterion=deff
+                                      #   (no in-kernel stop — a large first
+                                      #   window would run blind).  Explicit
+                                      #   values are honored as-is.  Only the
+                                      #   fused mgcg engines read it.
 
     @property
     def np_dtype(self):
@@ -136,6 +149,9 @@ class SimulationConfig:
             raise ValueError(f"Devices must be -1 (all) or >= 1, got {self.devices}")
         if self.dp < 0 or self.sp < 1:
             raise ValueError(f"need dp >= 0 and sp >= 1, got dp={self.dp} sp={self.sp}")
+        if self.first_window < 0:
+            raise ValueError(
+                f"FirstWindow must be >= 0 (0 = auto), got {self.first_window}")
 
     def resolve_mesh_shape(self, n_visible: int) -> tuple:
         """Resolve (n_devices, dp, sp) against the visible device count."""
@@ -182,6 +198,7 @@ _KEYMAP = {
     "DP:": ("dp", lambda v: int(float(v))),
     "SP:": ("sp", lambda v: int(float(v))),
     "Pallas:": ("pallas", str),
+    "FirstWindow:": ("first_window", lambda v: int(float(v))),
 }
 
 

@@ -98,14 +98,18 @@ def _dp_shard(mesh, tree):
 
 
 def _pallas_kwargs(cfg):
-    """Translate ``cfg.pallas`` into mgcg's kernel-selection kwargs."""
-    if cfg.solver != "mgcg" or cfg.pallas == "auto":
+    """Translate ``cfg.pallas`` / ``cfg.first_window`` into mgcg-only
+    kwargs (other solvers don't accept them)."""
+    if cfg.solver != "mgcg":
         return {}
+    kw = {"first_window": cfg.first_window}
     if cfg.pallas == "off":
-        return {"use_pallas": False}
-    if cfg.pallas == "force":
-        return {"use_pallas": "cgstep"}
-    return {"use_pallas": "cgstep", "pallas_interpret": True}
+        kw["use_pallas"] = False
+    elif cfg.pallas == "force":
+        kw["use_pallas"] = "cgstep"
+    elif cfg.pallas == "interpret":
+        kw.update(use_pallas="cgstep", pallas_interpret=True)
+    return kw
 
 
 def _solve_group_dp_shardmap(cfg, mesh, coeffs, spec, x0, tol, max_iter):
@@ -260,6 +264,7 @@ def solve_image_group(cfg: SimulationConfig, imgs_np: np.ndarray):
             coeffs, spec, x0,
             omega=cfg.omega, tol=cfg.convergence, max_iter=cfg.max_iter,
             check_every=cfg.check_every, criterion=cfg.criterion,
+            **_pallas_kwargs(cfg),
         )
     else:
         # matrix-free level 0 measured NEUTRAL in 2D — see the gate note in

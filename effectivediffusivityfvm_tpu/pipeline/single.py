@@ -44,6 +44,11 @@ from ..utils.timing import time_fn
 __all__ = ["SingleResult", "single_sim", "single_sim_3phase", "dcf_stages", "dcg_stages"]
 
 
+def _mgcg_kwargs(cfg):
+    """mgcg-only kwargs (other solvers don't accept them)."""
+    return {"first_window": cfg.first_window} if cfg.solver == "mgcg" else {}
+
+
 @dataclasses.dataclass
 class SingleResult:
     deff: float
@@ -150,6 +155,7 @@ def single_sim(cfg: SimulationConfig, img: Optional[np.ndarray] = None,
             max_iter=cfg.max_iter,
             check_every=cfg.check_every,
             criterion=cfg.criterion,
+            **_mgcg_kwargs(cfg),
             **({"d_field": d_field} if mf_ok else {}),
         )
         x = res.x
@@ -193,6 +199,7 @@ def _solve3p(cfg, coeffs, spec, x, tol, max_iter, gas_np):
         cfg.solver, coeffs, spec, x,
         omega=cfg.omega, tol=tol, max_iter=max_iter,
         check_every=cfg.check_every, criterion=cfg.criterion,
+        **_mgcg_kwargs(cfg),
     )
 
 

@@ -79,7 +79,11 @@ def _solve3d(cfg, coeffs, spec, x, tol, max_iter, name=None, gas_np=None,
                             check_every=cfg.check_every,
                             criterion=cfg.criterion, member=gas_np)
     fn = _SOLVERS[name]
-    kw = {"d_field": d_field} if name == "mgcg" and d_field is not None else {}
+    kw = {}
+    if name == "mgcg":
+        kw["first_window"] = cfg.first_window
+        if d_field is not None:
+            kw["d_field"] = d_field
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
               check_every=cfg.check_every, criterion=cfg.criterion, **kw)
 
@@ -235,7 +239,11 @@ def _solve3d_batched(cfg, coeffs, spec, x, tol, max_iter, gas_np=None,
             check_every=cfg.check_every, criterion=cfg.criterion,
             members=gas_np)
     fn = _BATCHED_SOLVERS[name]
-    kw = {"d_field": d_field} if name == "mgcg" and d_field is not None else {}
+    kw = {}
+    if name == "mgcg":
+        kw["first_window"] = cfg.first_window
+        if d_field is not None:
+            kw["d_field"] = d_field
     return fn(coeffs, spec, x, omega=cfg.omega, tol=tol, max_iter=max_iter,
               check_every=cfg.check_every, criterion=cfg.criterion, **kw)
 

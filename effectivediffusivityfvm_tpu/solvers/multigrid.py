@@ -445,6 +445,13 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                batched, nu1, nu2, omega, coarse_iters, min_size, over,
                use_pallas=None, pallas_interpret=False, d_field=None,
                first_window=1):
+    if first_window == 0:
+        # auto (config.py FirstWindow): the in-kernel early exit makes a
+        # full-size first window free for converged/warm images under the
+        # residual criteria; criterion="deff" has no in-kernel stop, so it
+        # keeps the early 1-iteration check.
+        first_window = (check_every
+                        if criterion in ("residual", "relresidual") else 1)
     if use_pallas is None:
         use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
         if use_pallas is True:
@@ -580,7 +587,8 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     (20, 20, ...) saves one full launch + true-residual refresh per batch.
     Avoid with criterion="deff" (no
     in-kernel stop: every image would run first_window blind
-    iterations)."""
+    iterations).  ``0`` = auto: check_every for residual/relresidual,
+    1 for deff (what the pipelines pass — config.py ``FirstWindow:``)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,

@@ -504,6 +504,10 @@ def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                 batched, nu1, nu2, mg_omega, coarse_iters, min_size, over,
                 use_pallas=None, pallas_interpret=False, d_field=None,
                 first_window=1):
+    if first_window == 0:
+        # auto — see solvers/multigrid._mgcg_core and config.py FirstWindow
+        first_window = (check_every
+                        if criterion in ("residual", "relresidual") else 1)
     if use_pallas is None:
         use_pallas = _pallas_auto_3d(coeffs, nu1, nu2)
 

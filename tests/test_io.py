@@ -53,6 +53,19 @@ class TestInputFile:
         assert cfg.dtype == "float64"
         assert cfg.check_every == 100
 
+    def test_first_window_key(self, tmp_path):
+        p = tmp_path / "in.txt"
+        p.write_text("Phases: 2\nSolver: mgcg\nFirstWindow: 40\n")
+        cfg = parse_input_file(str(p))
+        assert cfg.first_window == 40
+        cfg.validate()
+        # default is 0 = auto (criterion-based, resolved in the solver)
+        assert SimulationConfig().first_window == 0
+        import dataclasses
+        import pytest
+        with pytest.raises(ValueError, match="FirstWindow"):
+            dataclasses.replace(SimulationConfig(), first_window=-1).validate()
+
     def test_format_options_runs(self):
         assert "Number of Phases = 2" in format_options(SimulationConfig())
 

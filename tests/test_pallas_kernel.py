@@ -445,6 +445,20 @@ class TestFusedCGStep:
         assert np.all(np.asarray(got.conv) <= 1e-9)
         np.testing.assert_allclose(np.asarray(got.deff), np.asarray(ref.deff),
                                    rtol=1e-7)
+        # first_window=0 (auto, what the pipelines pass via config
+        # FirstWindow) resolves to check_every for the residual criteria —
+        # identical schedule, identical result
+        auto = solve(coeffs, spec, x0, first_window=0, **kw)
+        np.testing.assert_array_equal(np.asarray(auto.deff),
+                                      np.asarray(got.deff))
+        np.testing.assert_array_equal(np.asarray(auto.iters),
+                                      np.asarray(got.iters))
+        # ...and to 1 for criterion="deff" (no in-kernel stop)
+        kw_d = dict(kw, criterion="deff", tol=1e-5)
+        ref_d = solve(coeffs, spec, x0, first_window=1, **kw_d)
+        auto_d = solve(coeffs, spec, x0, first_window=0, **kw_d)
+        np.testing.assert_array_equal(np.asarray(auto_d.iters),
+                                      np.asarray(ref_d.iters))
 
     def test_fused_chebyshev_schedule_matches_xla(self, rng):
         """Per-sweep omega schedules (smoothing_schedule): fused engine ==
