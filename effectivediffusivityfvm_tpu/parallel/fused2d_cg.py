@@ -499,7 +499,7 @@ def _cg_steps_sharded(sharded_levels, replicated_levels, coef_wins, x, r, p,
 def run_mgcg_sharded_fused(c_l, s_l, x0_l, *, tol, max_iter, check_every,
                            criterion, nu, mg_omega, coarse_iters, min_size,
                            over, axis_name, batch_axis=None,
-                           interpret=False):
+                           interpret=False, first_window=1):
     """Sharded MGCG with the fused whole-CG-iteration engine: the sharded
     twin of solvers/multigrid._run_mgcg_fused (chunked checks, true-residual
     refresh + CG restart, best-iterate divergence net, last-iterate
@@ -523,13 +523,14 @@ def run_mgcg_sharded_fused(c_l, s_l, x0_l, *, tol, max_iter, check_every,
                          criterion=criterion, nu=nu, mg_omega=mg_omega,
                          coarse_iters=coarse_iters, min_size=min_size,
                          over=over, axis_name=axis_name,
-                         batch_axis=batch_axis, interpret=interpret)
+                         batch_axis=batch_axis, interpret=interpret,
+                         first_window=first_window)
 
 
 def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
               SolveResult, *, tol, max_iter, check_every, criterion, nu,
               mg_omega, coarse_iters, min_size, over, axis_name, batch_axis,
-              interpret):
+              interpret, first_window=1):
     batched = x0_l.ndim == 3
     xb = x0_l if batched else x0_l[None]
     cb = jax.tree.map(lambda a: a if batched else a[None], c_l)
@@ -614,13 +615,14 @@ def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
         (x, r, p, rz, _z, it, deff, deff_old, pc, conv, iters, x_best, best,
          bad) = c
         active = tol_ < jnp.abs(pc)
-        k = jnp.where(it == 0, 1, jnp.minimum(check_every, max_iter - it))
+        k = jnp.where(it == 0, jnp.minimum(first_window, max_iter),
+                      jnp.minimum(check_every, max_iter - it))
         hi_sum = 1e3 * best * npts
         x, r, p, rz, kdone = cg_steps(x, r, p, rz, active.astype(dtype),
                                       stop_sum, hi_sum, k)
         it_new = it + k
         iters = iters + jnp.where(active, kdone, 0)
-        do_check = ((it_new - 1) % check_every) == 0
+        do_check = ((it_new - first_window) % check_every) == 0
 
         r_true, z_true, rz_true = fresh(x)
         refresh = expand(do_check & active)

@@ -310,6 +310,7 @@ def sharded_solve_mgcg(
     batch_axis: str = "dp",
     use_pallas=None,
     pallas_interpret: bool = False,
+    first_window: int = 1,
 ) -> SolveResult:
     """Row-sharded 2D multigrid-PCG: shard-local Galerkin coarsening down to
     2-row slabs, then a replicated coarse tail; equals the unsharded
@@ -334,18 +335,22 @@ def sharded_solve_mgcg(
         use_pallas = (jax.default_backend() == "tpu"
                       and coeffs.diag.dtype == jnp.float32
                       and nu1 == nu2 and nu1 <= 4)
+    if first_window == 0:
+        # auto — see solvers/multigrid._mgcg_core and config.py FirstWindow
+        first_window = (check_every
+                        if criterion in ("residual", "relresidual") else 1)
     runner = _mgcg_runner(mesh, batched, tol, max_iter,
                           check_every, criterion, nu1, nu2,
                           mg_omega, coarse_iters, min_size, over,
                           spatial_axis, batch_axis, use_pallas,
-                          pallas_interpret)
+                          pallas_interpret, first_window)
     return runner(coeffs, spec, x0)
 
 
 @functools.lru_cache(maxsize=64)
 def _mgcg_runner(mesh, batched, tol, max_iter, check_every, criterion, nu1,
                  nu2, mg_omega, coarse_iters, min_size, over, spatial_axis,
-                 batch_axis, use_pallas, pallas_interpret):
+                 batch_axis, use_pallas, pallas_interpret, first_window=1):
     """Jitted sharded-MGCG runner, cached on the static configuration —
     a fresh ``jax.jit(run)`` per call would retrace the whole solve every
     time (seconds per call; the fused-cycle trace is the largest)."""
@@ -382,7 +387,7 @@ def _mgcg_runner(mesh, batched, tol, max_iter, check_every, criterion, nu1,
                     mg_omega=mg_omega, coarse_iters=coarse_iters,
                     min_size=min_size, over=over, axis_name=spatial_axis,
                     batch_axis=batch_axis if batched else None,
-                    interpret=pallas_interpret)
+                    interpret=pallas_interpret, first_window=first_window)
 
         sharded_levels, replicated_levels = _build_sharded_hierarchy_2d(
             c_l, x0_l.shape[-2], spatial_axis, min_size=min_size)

@@ -357,6 +357,33 @@ def test_sharded_fused_cg_engine_batched_dp_sp(rng):
                          - np.asarray(ref.iters, np.int64)) <= 10)
 
 
+def test_sharded_fused_cg_first_window(rng):
+    """first_window on the sharded fused engine (r5): 0 = auto resolves to
+    check_every under the residual criteria — the opening 1-iteration
+    launch disappears but the solve converges to the same tolerance and
+    Deff as the default schedule."""
+    from effectivediffusivityfvm_tpu.parallel.halo import sharded_solve_mgcg
+
+    ny, nx = 32, 16
+    d = np.exp(rng.uniform(0, np.log(1e2), (ny, nx))).astype(np.float32)
+    dj = jnp.asarray(d, jnp.float32)
+    c = fvm.fvm_coefficients(dj, 0.0, 1.0)
+    spec = make_flux_spec(dj, 0.0, 1.0)
+    x0 = jnp.broadcast_to(jnp.arange(nx, dtype=jnp.float32) / nx, (ny, nx))
+    mesh = make_mesh(4, dp=1)
+    kw = dict(tol=1.2e-5, max_iter=400, check_every=10,
+              criterion="relresidual", nu1=2, nu2=2, use_pallas=True,
+              pallas_interpret=True)
+    ref = sharded_solve_mgcg(c, spec, x0, mesh, **kw)
+    auto = sharded_solve_mgcg(c, spec, x0, mesh, first_window=0, **kw)
+    expl = sharded_solve_mgcg(c, spec, x0, mesh, first_window=10, **kw)
+    assert float(auto.conv) <= 1.2e-5
+    np.testing.assert_allclose(float(auto.deff), float(ref.deff), rtol=1e-5)
+    # auto == explicit check_every: identical schedule, identical result
+    np.testing.assert_array_equal(np.asarray(auto.deff), np.asarray(expl.deff))
+    assert int(auto.iters) == int(expl.iters)
+
+
 def test_sharded_fused_cg_engine_deff_criterion(rng):
     """The engine under the reference's deff stopping rule (in-kernel early
     exit disabled, checks every check_every): agrees with the XLA sharded
