@@ -112,7 +112,8 @@ def config3():
     # fast fp32 MGCG first (its fp32 floor on contrast-1e6 media is ~1e-4 —
     # measured — so the tight 1e-8 target needs the f64-engine solver below)
     kw = dict(tol=1e-4, max_iter=400, check_every=10, criterion="relresidual",
-              min_size=32, coarse_iters=64, nu1=2, nu2=2, over=1.8)
+              min_size=32, coarse_iters=64, nu1=2, nu2=2, over=1.8,
+              first_window=0)   # auto: skip the opening 1-iteration launch
     res, best, warm = _timed(solve_mgcg, coeffs, spec, x0, **kw)
     print(f"config3 mgcg fp32: {int(res.iters)} iters, relres={float(res.conv):.2e}, "
           f"deff={float(res.deff):.5f}, {best:.2f}s (warm {warm:.1f}s)",
@@ -121,8 +122,13 @@ def config3():
            "seconds": round(best, 3), "iters": int(res.iters),
            "relres": float(res.conv)})
     # matrix-free level 0: measured NEUTRAL in 2D (compute/launch-bound
-    # engine — docs/PERFORMANCE.md round-4 notes); printed for comparison
-    res_m, best_m, _ = _timed(solve_mgcg, coeffs, spec, x0, d_field=d, **kw)
+    # engine — docs/PERFORMANCE.md round-4 notes); printed for comparison.
+    # first_window=1 here: the 2D mf engine degrades under a long blind
+    # OPENING window (measured r5: 111 iters at fw=10 vs 41 at fw=1 on
+    # this config; the stored path moves 47 -> 37 with auto) — see the
+    # solve_mgcg docstring.
+    res_m, best_m, _ = _timed(solve_mgcg, coeffs, spec, x0, d_field=d,
+                              **dict(kw, first_window=1))
     print(f"config3 mgcg fp32 (matrix-free L0): {int(res_m.iters)} iters, "
           f"relres={float(res_m.conv):.2e}, {best_m:.2f}s", file=sys.stderr)
 

@@ -588,7 +588,14 @@ def solve_mgcg(coeffs, spec, x0, *, omega: float = 0.0, tol: float = 1e-8,
     Avoid with criterion="deff" (no
     in-kernel stop: every image would run first_window blind
     iterations).  ``0`` = auto: check_every for residual/relresidual,
-    1 for deff (what the pipelines pass — config.py ``FirstWindow:``)."""
+    1 for deff (what the pipelines pass — config.py ``FirstWindow:``).
+    With ``d_field`` (the 2D matrix-free banded engine) keep
+    ``first_window=1``: the mf engine degrades under a long blind opening
+    window (measured at 2048² contrast 1e6: 111 iterations at
+    first_window=10 vs 41 at 1, while the stored path improves 47 → 37
+    — the early true-residual restart repairs the small level-0
+    stencil mismatch between the in-kernel recompute and the stored
+    refresh operator before CG amplifies it)."""
     return _mgcg_core(coeffs, spec, x0, tol=tol, max_iter=max_iter,
                       check_every=resolve_check_every(check_every, 10),
                       criterion=criterion, batched=False, nu1=nu1, nu2=nu2, omega=mg_omega,
