@@ -57,9 +57,12 @@ def main():
             check_every=ce, first_window=ce, **base)
 
     if len(sys.argv) > 1 and sys.argv[1] == "big":
-        coeffs2, spec2, x02 = build_problem(2 * BATCH, SIZE, jnp.float32)
-        run(solve_mgcg_batched, coeffs2, spec2, x02, 2 * BATCH,
-            check_every=20, first_window=20, **base)
+        # probe the knee around the default: half-batch, plus double-batch
+        # only while it fits HBM (batch 1024 x 512^2 exhausts it — bench.py)
+        for bsz in [BATCH // 2] + ([2 * BATCH] if 2 * BATCH <= 512 else []):
+            coeffs2, spec2, x02 = build_problem(bsz, SIZE, jnp.float32)
+            run(solve_mgcg_batched, coeffs2, spec2, x02, bsz,
+                check_every=20, first_window=20, **base)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,9 @@ def _kernel(k_ref, active_ref, rz_ref, stop_ref, hi_ref, x_ref, r_ref, p_ref,
         rzo_ref[0, pid] = rz_ref[0, pid]
         ko_ref[0, pid] = 0
         if refresh:
-            sro_ref[0, pid] = jnp.sum(jnp.abs(r_ref[0]))
+            # the driver only reads sum|r_true| under active masks — skip
+            # the full-plane reduction for frozen images
+            sro_ref[0, pid] = jnp.zeros((), r_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("omega", "nu", "coarse_iters",

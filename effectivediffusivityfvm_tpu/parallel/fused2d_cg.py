@@ -622,7 +622,10 @@ def _run_impl(c_l, s_l, x0_l, build_hier, deff_local, nbsum_local,
                                       stop_sum, hi_sum, k)
         it_new = it + k
         iters = iters + jnp.where(active, kdone, 0)
-        do_check = ((it_new - first_window) % check_every) == 0
+        # force the final check on a max_iter-truncated window — see
+        # solvers/multigrid._run_mgcg_fused
+        do_check = (((it_new - first_window) % check_every) == 0) \
+            | (it_new >= max_iter)
 
         r_true, z_true, rz_true = fresh(x)
         refresh = expand(do_check & active)

@@ -335,10 +335,9 @@ def sharded_solve_mgcg(
         use_pallas = (jax.default_backend() == "tpu"
                       and coeffs.diag.dtype == jnp.float32
                       and nu1 == nu2 and nu1 <= 4)
-    if first_window == 0:
-        # auto — see solvers/multigrid._mgcg_core and config.py FirstWindow
-        first_window = (check_every
-                        if criterion in ("residual", "relresidual") else 1)
+    from ..solvers.driver import resolve_first_window
+
+    first_window = resolve_first_window(first_window, check_every, criterion)
     runner = _mgcg_runner(mesh, batched, tol, max_iter,
                           check_every, criterion, nu1, nu2,
                           mg_omega, coarse_iters, min_size, over,

@@ -176,7 +176,8 @@ def _solve_group_on_mesh(cfg, mesh, coeffs, spec, x0, tol, max_iter,
 
             res = sharded_solve_mgcg(
                 coeffs, spec, x0, mesh, tol=tol, max_iter=max_iter,
-                check_every=cfg.check_every or 10, criterion=cfg.criterion)
+                check_every=cfg.check_every or 10, criterion=cfg.criterion,
+                first_window=cfg.first_window)
         else:
             from ..parallel.halo import sharded_solve_jacobi
 

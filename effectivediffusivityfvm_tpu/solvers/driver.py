@@ -38,7 +38,30 @@ import jax.numpy as jnp
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
 
-__all__ = ["SolveResult", "run_single", "run_batched", "resolve_check_every"]
+__all__ = ["SolveResult", "run_single", "run_batched", "resolve_check_every",
+           "resolve_first_window"]
+
+
+def resolve_first_window(first_window: int, check_every: int, criterion: str,
+                         matrix_free: bool = False) -> int:
+    """Resolve the fused-MGCG opening-window length (config.py FirstWindow).
+
+    ``0`` = auto: ``check_every`` under the residual criteria (the
+    in-kernel early exit makes a full-size first window free for
+    converged/warm images), 1 for ``criterion="deff"`` (no in-kernel
+    stop — a large first window would run blind) and for the 2D
+    matrix-free banded engine (``matrix_free=True``: a long blind
+    opening window lets CG amplify the small level-0 recompute/stored-
+    refresh stencil mismatch — measured 41 → 111 iterations at 2048²,
+    see solve_mgcg).  Explicit positive values are honored as-is.
+    Shared by the 2D, 3D, and sharded fused drivers so their auto
+    schedules cannot drift apart.
+    """
+    if first_window != 0:
+        return first_window
+    if matrix_free or criterion not in ("residual", "relresidual"):
+        return 1
+    return check_every
 
 
 def resolve_check_every(check_every: int, default: int) -> int:

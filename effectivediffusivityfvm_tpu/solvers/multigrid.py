@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from ..ops import fvm
 from ..ops.flux import BoundaryFluxSpec, boundary_deff
 from ..ops.kernels.vcycle_vmem import smoothing_schedule
-from .driver import SolveResult, resolve_check_every
+from .driver import SolveResult, resolve_check_every, resolve_first_window
 from .pcg import run_pcg
 
 __all__ = ["build_hierarchy", "v_cycle", "solve_mgcg", "solve_mgcg_batched"]
@@ -364,7 +364,12 @@ def _run_mgcg_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         rz = rz1[:, 0]
         it_new = it + k
         iters = iters + jnp.where(active, kdone[:, 0], 0)
-        do_check = ((it_new - first_window) % check_every) == 0
+        # a window truncated by max_iter (max_iter < first_window, or not a
+        # multiple of check_every past it) would otherwise never land on the
+        # modulo phase — force the final check so conv/deff are never
+        # returned as their init sentinels
+        do_check = (((it_new - first_window) % check_every) == 0) \
+            | (it_new >= max_iter)
 
         if kernel_refresh:
             # the vmem engine refreshes + restarts in-kernel (active
@@ -445,13 +450,8 @@ def _mgcg_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                batched, nu1, nu2, omega, coarse_iters, min_size, over,
                use_pallas=None, pallas_interpret=False, d_field=None,
                first_window=1):
-    if first_window == 0:
-        # auto (config.py FirstWindow): the in-kernel early exit makes a
-        # full-size first window free for converged/warm images under the
-        # residual criteria; criterion="deff" has no in-kernel stop, so it
-        # keeps the early 1-iteration check.
-        first_window = (check_every
-                        if criterion in ("residual", "relresidual") else 1)
+    first_window = resolve_first_window(first_window, check_every, criterion,
+                                        matrix_free=d_field is not None)
     if use_pallas is None:
         use_pallas = _pallas_auto(coeffs, nu1, nu2, min_size)
         if use_pallas is True:

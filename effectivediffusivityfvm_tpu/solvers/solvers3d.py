@@ -412,7 +412,10 @@ def _run_mgcg3d_fused(coeffs, spec, x0, *, tol, max_iter, check_every,
         rz = rz1[:, 0]
         it_new = it + k
         iters = iters + jnp.where(active, kdone[:, 0], 0)
-        do_check = ((it_new - first_window) % check_every) == 0
+        # force the final check on a max_iter-truncated window — see
+        # solvers/multigrid._run_mgcg_fused
+        do_check = (((it_new - first_window) % check_every) == 0) \
+            | (it_new >= max_iter)
 
         r_true, z_true, rz_true = fresh(x)
         refresh = expand(do_check & active)
@@ -504,10 +507,11 @@ def _mgcg3_core(coeffs, spec, x0, *, tol, max_iter, check_every, criterion,
                 batched, nu1, nu2, mg_omega, coarse_iters, min_size, over,
                 use_pallas=None, pallas_interpret=False, d_field=None,
                 first_window=1):
-    if first_window == 0:
-        # auto — see solvers/multigrid._mgcg_core and config.py FirstWindow
-        first_window = (check_every
-                        if criterion in ("residual", "relresidual") else 1)
+    # the 3D matrix-free engine measured NEUTRAL under a full-size opening
+    # window (unlike 2D — see resolve_first_window), so d_field does not
+    # force matrix_free=True here
+    first_window = driver.resolve_first_window(first_window, check_every,
+                                               criterion)
     if use_pallas is None:
         use_pallas = _pallas_auto_3d(coeffs, nu1, nu2)
 

@@ -460,6 +460,20 @@ class TestFusedCGStep:
         np.testing.assert_array_equal(np.asarray(auto_d.iters),
                                       np.asarray(ref_d.iters))
 
+    def test_fused_max_iter_truncated_window_still_checks(self, rng):
+        """A window truncated by max_iter (here max_iter < first_window)
+        must still land a convergence check: conv/deff may not come back
+        as their 100.0/1.0 init sentinels (round-5 review finding)."""
+        solve, coeffs, spec, x0 = self._problem(rng)
+        res = solve(coeffs, spec, x0, tol=1e-12, max_iter=7, check_every=10,
+                    first_window=10, criterion="residual", nu1=2, nu2=2,
+                    use_pallas="cgstep", pallas_interpret=True)
+        conv = np.asarray(res.conv)
+        assert np.all(conv < 1.0), conv          # not the 100.0 sentinel
+        # deff was evaluated at the forced final check
+        assert np.all(np.isfinite(np.asarray(res.deff)))
+        assert np.all(np.asarray(res.deff) != 1.0)
+
     def test_fused_chebyshev_schedule_matches_xla(self, rng):
         """Per-sweep omega schedules (smoothing_schedule): fused engine ==
         XLA engine with the same tuple, and tuple(w, w) == scalar w."""
